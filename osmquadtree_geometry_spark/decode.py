@@ -1,0 +1,221 @@
+"""Stage 0 — decode the interleaved ``docs`` table into relational
+``nodes`` / ``ways`` / ``relations`` / ``media`` DataFrames, and
+re-encode them back to spans for the per-row invariant check.
+
+Everything here is built-in DataFrame ops (``explode``,
+``str_to_map``, ``map_from_entries``, window-free groupBys) — fully
+JVM-side, no Python UDFs.  The only shuffles are the per-entity
+groupBys (way refs, relation members, tag maps), each keyed by the
+entity id — at 10^12 docs these hash-partition evenly because ids are
+dense and synthetic salting is unnecessary at this stage.
+
+Reference data model being reconstructed: SURVEY.md §1.1
+(`waywithnodes.rs:75-110`, `multipolygons.rs:142-162`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels.quadtree import sql_point_qt
+
+
+def read_docs(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        F.expr("str_to_map(s.text, ';', '=')").alias("m"),
+    )
+
+
+def _tags_for(spans: DataFrame, elem: str) -> DataFrame:
+    """(doc_id, id, tags map) for one element kind; keys sorted for
+    deterministic map iteration order."""
+    t = (spans.where((F.col("kind") == "tag") & (F.col("m")["elem"] == elem))
+         .select("doc_id",
+                 F.col("m")["id"].cast("long").alias("id"),
+                 F.col("m")["k"].alias("k"),
+                 F.coalesce(F.col("m")["v"], F.lit("")).alias("v")))
+    return (t.groupBy("doc_id", "id")
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("k", "v")))).alias("tags")))
+
+
+def decode_nodes(spans: DataFrame) -> DataFrame:
+    """nodes(doc_id, id, lon, lat, tags, quadtree) — quadtree is the
+    z18 point cell (`Quadtree::calculate_point`), computed with the
+    pure-SQL kernel so it stays inside whole-stage codegen."""
+    n = (spans.where(F.col("kind") == "node")
+         .select("doc_id",
+                 F.col("m")["id"].cast("long").alias("id"),
+                 F.col("m")["lon"].cast("int").alias("lon"),
+                 F.col("m")["lat"].cast("int").alias("lat"))
+         # malformed span text -> unparsable row; drop rather than emit
+         # a null-id node with a spurious quadtree
+         .where(F.col("id").isNotNull() & F.col("lon").isNotNull()
+                & F.col("lat").isNotNull()))
+    tags = _tags_for(spans, "node")
+    out = (n.join(tags, ["doc_id", "id"], "left")
+           .withColumn("tags", F.coalesce("tags", F.expr("map()")))
+           .withColumn("quadtree", F.expr(sql_point_qt("lon", "lat"))))
+    return out
+
+
+def decode_ways(spans: DataFrame) -> DataFrame:
+    """ways(doc_id, id, refs, tags)."""
+    w = (spans.where(F.col("kind") == "way_ref")
+         .select("doc_id",
+                 F.col("m")["way"].cast("long").alias("id"),
+                 F.col("m")["pos"].cast("int").alias("pos"),
+                 F.col("m")["ref"].cast("long").alias("ref"))
+         .where(F.col("id").isNotNull() & F.col("pos").isNotNull()
+                & F.col("ref").isNotNull()))
+    refs = (w.groupBy("doc_id", "id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ref"))),
+                lambda x: x["ref"]).alias("refs")))
+    tags = _tags_for(spans, "way")
+    return (refs.join(tags, ["doc_id", "id"], "left")
+            .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
+
+
+def decode_relations(spans: DataFrame) -> DataFrame:
+    """relations(doc_id, id, members array<struct<mem_type,mem_ref,role>>, tags)."""
+    r = (spans.where(F.col("kind") == "rel_member")
+         .select("doc_id",
+                 F.col("m")["rel"].cast("long").alias("id"),
+                 F.col("m")["pos"].cast("int").alias("pos"),
+                 F.col("m")["type"].alias("mem_type"),
+                 F.col("m")["ref"].cast("long").alias("mem_ref"),
+                 F.coalesce(F.col("m")["role"], F.lit("")).alias("role")))
+    members = (r.groupBy("doc_id", "id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("pos", "mem_type", "mem_ref", "role"))),
+                   lambda x: F.struct(x["mem_type"].alias("mem_type"),
+                                      x["mem_ref"].alias("mem_ref"),
+                                      x["role"].alias("role"))).alias("members")))
+    tags = _tags_for(spans, "rel")
+    return (members.join(tags, ["doc_id", "id"], "left")
+            .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
+
+
+def decode_media(spans: DataFrame) -> DataFrame:
+    """media(doc_id, tile, z, x, y) — raster tile references."""
+    m = (spans.where(F.col("kind") == "media")
+         .select("doc_id", F.col("media_ref").alias("tile")))
+    p = F.split("tile", "/")
+    return m.select("doc_id", "tile",
+                    p.getItem(0).cast("int").alias("z"),
+                    p.getItem(1).cast("long").alias("x"),
+                    p.getItem(2).cast("long").alias("y"))
+
+
+def decode_all(docs: DataFrame) -> dict[str, DataFrame]:
+    spans = explode_spans(docs)
+    return {
+        "spans": spans,
+        "nodes": decode_nodes(spans),
+        "ways": decode_ways(spans),
+        "relations": decode_relations(spans),
+        "media": decode_media(spans),
+    }
+
+
+# ---------------------------------------------------------------------------
+# per-row invariant: decode → re-encode == input span sequence
+# ---------------------------------------------------------------------------
+
+def reencode_spans(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
+                   media: DataFrame) -> DataFrame:
+    """Rebuild (doc_id, spans) in the canonical order of
+    ``datagen.Scene.spans``.  Used by the invariant check: the result
+    must equal the input docs table row-for-row."""
+    n = nodes.select(
+        "doc_id", F.lit(0).alias("rank"),
+        F.struct(F.col("id").alias("k1"), F.lit(0).cast("long").alias("k2"),
+                 F.lit("").alias("k3")).alias("ord"),
+        F.lit("node").alias("kind"),
+        F.concat(F.lit("id="), "id", F.lit(";lon="), "lon",
+                 F.lit(";lat="), "lat").alias("text"),
+        F.lit("").alias("media_ref"))
+    w = (ways.select("doc_id", "id", F.posexplode("refs").alias("pos", "ref"))
+         .select("doc_id", F.lit(1).alias("rank"),
+                 F.struct(F.col("id").alias("k1"),
+                          F.col("pos").cast("long").alias("k2"),
+                          F.lit("").alias("k3")).alias("ord"),
+                 F.lit("way_ref").alias("kind"),
+                 F.concat(F.lit("way="), "id", F.lit(";pos="), "pos",
+                          F.lit(";ref="), "ref").alias("text"),
+                 F.lit("").alias("media_ref")))
+    r = (relations.select("doc_id", "id", F.posexplode("members").alias("pos", "mm"))
+         .select("doc_id", F.lit(2).alias("rank"),
+                 F.struct(F.col("id").alias("k1"),
+                          F.col("pos").cast("long").alias("k2"),
+                          F.lit("").alias("k3")).alias("ord"),
+                 F.lit("rel_member").alias("kind"),
+                 F.concat(F.lit("rel="), "id", F.lit(";pos="), "pos",
+                          F.lit(";type="), F.col("mm.mem_type"),
+                          F.lit(";ref="), F.col("mm.mem_ref"),
+                          F.lit(";role="), F.col("mm.role")).alias("text"),
+                 F.lit("").alias("media_ref")))
+
+    # tag ordering key: (elem-rank, id, key)
+    tn = (nodes.select("doc_id", "id", F.explode("tags").alias("k", "v"))
+          .select("doc_id", F.lit("node").alias("elem"), F.lit(0).alias("erank"),
+                  "id", "k", "v"))
+    tw = (ways.select("doc_id", "id", F.explode("tags").alias("k", "v"))
+          .select("doc_id", F.lit("way").alias("elem"), F.lit(1).alias("erank"),
+                  "id", "k", "v"))
+    tr = (relations.select("doc_id", "id", F.explode("tags").alias("k", "v"))
+          .select("doc_id", F.lit("rel").alias("elem"), F.lit(2).alias("erank"),
+                  "id", "k", "v"))
+    tags = (tn.unionByName(tw).unionByName(tr)
+            .select("doc_id", F.lit(3).alias("rank"),
+                    F.struct(F.col("erank").cast("long").alias("k1"),
+                             F.col("id").cast("long").alias("k2"),
+                             F.col("k").alias("k3")).alias("ord"),
+                    F.lit("tag").alias("kind"),
+                    F.concat(F.lit("elem="), "elem", F.lit(";id="), "id",
+                             F.lit(";k="), "k", F.lit(";v="), "v").alias("text"),
+                    F.lit("").alias("media_ref")))
+    md = media.select(
+        "doc_id", F.lit(4).alias("rank"),
+        F.struct(F.lit(0).cast("long").alias("k1"), F.lit(0).cast("long").alias("k2"),
+                 F.col("tile").alias("k3")).alias("ord"),
+        F.lit("media").alias("kind"),
+        F.concat(F.lit("tile="), "tile").alias("text"),
+        F.col("tile").alias("media_ref"))
+
+    allspans = n.unionByName(w).unionByName(r).unionByName(tags).unionByName(md)
+    return (allspans
+            .groupBy("doc_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("rank", "ord", "kind", "text", "media_ref"))),
+                lambda x: F.struct(x["kind"].alias("kind"),
+                                   x["text"].alias("text"),
+                                   x["media_ref"].alias("media_ref"))).alias("spans")))
+
+
+def span_invariant_violations(docs: DataFrame, re_encoded: DataFrame) -> DataFrame:
+    """Docs whose re-encoded span sequence differs from the input
+    (kind, text, media_ref, order) — must be empty."""
+    orig = docs.select(
+        "doc_id",
+        F.transform(F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)"),
+                    lambda x: F.struct(x["kind"].alias("kind"),
+                                       x["text"].alias("text"),
+                                       x["media_ref"].alias("media_ref"))).alias("o"))
+    return (orig.join(re_encoded, "doc_id", "full")
+            .where(F.col("o").isNull() | F.col("spans").isNull()
+                   | (F.col("o") != F.col("spans"))))
