@@ -1,38 +1,299 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship geometry pipeline;
+``queries()``/``oracle_sql()`` expose each implemented operator with a
+DuckDB oracle where SQL-expressible (CORRECTNESS gate).
+
+The geometry engine's input is the deterministic interleaved-docs
+fixture (BASELINE.json.input_hint shape), generated per sf under
+``/root/repo/.data/geom_sf*/docs.parquet``; TPC-H-ish / training-data
+queries read the driver's parquet at the given sf_dir directly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmquadtree_geometry_spark import oracles  # noqa: E402
+from osmquadtree_geometry_spark.config.minzoom import MinZoomSpec  # noqa: E402
+from osmquadtree_geometry_spark.config.style import GeometryStyle  # noqa: E402
+from osmquadtree_geometry_spark.datagen import fixture_docs_path  # noqa: E402
+from osmquadtree_geometry_spark.decode import (  # noqa: E402
+    decode_all, read_docs, reencode_spans)
+from osmquadtree_geometry_spark.pipeline import feature_counts, run_pipeline  # noqa: E402
+
+STYLE = GeometryStyle()
+MINZOOM = MinZoomSpec.default()
+
+_CACHE: dict = {}
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (the driver may run
+    from any cwd — equivalent of ``spark-submit --py-files``)."""
+    if _CACHE.get("pyfiles"):
+        return
+    import shutil
+    os.makedirs(os.path.join(_REPO, ".data"), exist_ok=True)
+    zip_base = os.path.join(_REPO, ".data", "osmquadtree_geometry_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", root_dir=_REPO,
+                            base_dir="osmquadtree_geometry_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _CACHE["pyfiles"] = True
+
+
+def _docs_path(sf_dir: str) -> str:
+    return fixture_docs_path(sf_dir)
+
+
+def _decoded(spark: SparkSession, sf_dir: str) -> dict:
+    _ensure_workers(spark)
+    key = ("decoded", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = decode_all(read_docs(spark, _docs_path(sf_dir)))
+    return _CACHE[key]
+
+
+def _pipeline(spark: SparkSession, sf_dir: str):
+    _ensure_workers(spark)
+    key = ("pipeline", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = run_pipeline(spark, _docs_path(sf_dir),
+                                   style=STYLE, minzoom=MINZOOM)
+    return _CACHE[key]
+
+
+def _sf(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full geometry pipeline (decode -> joins -> assembly ->
+    minzoom -> tiles) on the sf0.001 fixture; returns per-tile,
+    per-geometry-type feature counts."""
+    res = _pipeline(spark, "/root/testdata/sf0.001")
+    def tag(df, t):
+        return df.select(F.lit(t).alias("geom_type"), "tile", "id")
+    allf = (tag(res.points, "point")
+            .unionByName(tag(res.linestrings, "linestring"))
+            .unionByName(tag(res.simple_polygons, "simple_polygon"))
+            .unionByName(tag(res.complicated_polygons, "complicated_polygon")))
+    return (allf.groupBy("geom_type", "tile")
+            .agg(F.count("*").alias("n_features"),
+                 F.min("id").alias("min_id"), F.max("id").alias("max_id"))
+            .orderBy("geom_type", "tile"))
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def q_decode_nodes(spark, sf_dir):
+    n = _decoded(spark, sf_dir)["nodes"]
+    return n.select("id", "lon", "lat", F.size("tags").cast("long").alias("n_tags"))
+
+
+def q_decode_ways(spark, sf_dir):
+    w = _decoded(spark, sf_dir)["ways"]
+    return w.select("id", F.size("refs").cast("long").alias("n_refs"),
+                    F.element_at("refs", 1).alias("first_ref"),
+                    F.element_at("refs", -1).alias("last_ref"))
+
+
+def q_decode_relations(spark, sf_dir):
+    r = _decoded(spark, sf_dir)["relations"]
+    return r.select(
+        "id", F.size("members").cast("long").alias("n_members"),
+        F.size(F.filter("members", lambda m: m["mem_type"] == "way"))
+        .cast("long").alias("n_way_members"))
+
+
+def q_span_roundtrip(spark, sf_dir):
+    t = _decoded(spark, sf_dir)
+    re_enc = reencode_spans(t["nodes"], t["ways"], t["relations"], t["media"])
+    return re_enc.select(
+        "doc_id", F.size("spans").cast("long").alias("n_spans"),
+        F.md5(F.expr(
+            "array_join(transform(spans, s -> concat(s.kind, '|', s.text, '|', "
+            "s.media_ref)), chr(10))")).alias("spans_hash"))
+
+
+def q_node_quadtree(spark, sf_dir):
+    n = _decoded(spark, sf_dir)["nodes"]
+    return (n.where(F.expr(STYLE.sql_has_feature_key("tags")))
+            .select("id", "quadtree"))
+
+
+def q_line_length(spark, sf_dir):
+    res = _pipeline(spark, sf_dir)
+    return res.linestrings.select("id", F.round("length", 2).alias("length"))
+
+
+def q_simple_polygon_area(spark, sf_dir):
+    res = _pipeline(spark, sf_dir)
+    return res.simple_polygons.select(
+        "id", F.round("area", 2).alias("area"), "reversed")
+
+
+def q_relation_tags(spark, sf_dir):
+    from osmquadtree_geometry_spark.operators.relationtags import relation_tag_rows
+    t = _decoded(spark, sf_dir)
+    return (relation_tag_rows(t["relations"], STYLE)
+            .select("way_id", "target_key", "out_val"))
+
+
+def q_parent_tags(spark, sf_dir):
+    from osmquadtree_geometry_spark.operators.parenttags import parent_tag_rows
+    from osmquadtree_geometry_spark.operators.waynodes import collect_way_nodes
+    t = _decoded(spark, sf_dir)
+    ways_ll, _ = collect_way_nodes(t["ways"], t["nodes"])
+    return parent_tag_rows(t["nodes"], ways_ll, STYLE)
+
+
+def q_minzoom_points(spark, sf_dir):
+    n = _decoded(spark, sf_dir)["nodes"]
+    feat = n.where(F.expr(STYLE.sql_has_feature_key("tags")))
+    from osmquadtree_geometry_spark.kernels.quadtree import sql_round_qt
+    return (feat.withColumn("minzoom", F.expr(MINZOOM.sql_point_minzoom("tags")))
+            .withColumn("quadtree",
+                        F.when(F.col("minzoom").isNotNull(),
+                               F.expr(sql_round_qt("quadtree", "minzoom")))
+                        .otherwise(F.col("quadtree")))
+            .select("id", "minzoom", "quadtree"))
+
+
+def q_multipolygons(spark, sf_dir):
+    """Ring assembly (no SQL oracle — verified by kernel unit tests +
+    golden fixtures)."""
+    res = _pipeline(spark, sf_dir)
+    return res.complicated_polygons.select(
+        "id", F.size("parts").cast("long").alias("n_parts"),
+        F.expr("cast(aggregate(parts, 0L, (a, p) -> a + size(p.interiors)) as bigint)")
+        .alias("n_interiors"),
+        F.round("area", 1).alias("area"),
+        "quadtree", F.md5(F.hex("wkb")).alias("wkb_hash"))
+
+
+def q_assembly_errors(spark, sf_dir):
+    res = _pipeline(spark, sf_dir)
+    return res.errors.groupBy("elem_type", "message").agg(
+        F.count("*").alias("n"), F.min("elem_id").alias("min_id"))
+
+
+def q_tile_assignment(spark, sf_dir):
+    res = _pipeline(spark, sf_dir)
+    return res.points.groupBy("tile").agg(F.count("*").alias("n_points"))
+
+
+# -- TPC-H-ish / training-data queries over the driver's tables -------------
+
+def q_lineitem_agg(spark, sf_dir):
+    li = spark.read.parquet(_sf(sf_dir, "lineitem"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_top_customers(spark, sf_dir):
+    o = spark.read.parquet(_sf(sf_dir, "orders"))
+    c = spark.read.parquet(_sf(sf_dir, "customer"))
+    j = (o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"),
+                                    F.count("*").alias("n_orders"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.select("c_custkey", "c_name", "spend", "n_orders")
+            .orderBy(F.desc("spend"), "c_custkey").limit(100))
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return (d.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+            .where(F.col("n_dups") > 1))
+
+
+def q_token_stats(spark, sf_dir):
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decode_nodes": q_decode_nodes,
+    "decode_ways": q_decode_ways,
+    "decode_relations": q_decode_relations,
+    "span_roundtrip": q_span_roundtrip,
+    "node_quadtree": q_node_quadtree,
+    "line_length": q_line_length,
+    "simple_polygon_area": q_simple_polygon_area,
+    "relation_tags": q_relation_tags,
+    "parent_tags": q_parent_tags,
+    "minzoom_points": q_minzoom_points,
+    "multipolygons": q_multipolygons,
+    "assembly_errors": q_assembly_errors,
+    "tile_assignment": q_tile_assignment,
+    "lineitem_agg": q_lineitem_agg,
+    "top_customers": q_top_customers,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    docs = _docs_path("/root/testdata/sf0.01")
+    return {
+        "decode_nodes": oracles.q_decode_nodes(docs),
+        "decode_ways": oracles.q_decode_ways(docs),
+        "decode_relations": oracles.q_decode_relations(docs),
+        "span_roundtrip": oracles.q_span_roundtrip(docs),
+        "node_quadtree": oracles.q_node_quadtree(docs, STYLE),
+        "line_length": oracles.q_line_length(docs, STYLE),
+        "simple_polygon_area": oracles.q_simple_polygon_area(docs, STYLE),
+        "relation_tags": oracles.q_relation_tags(docs, STYLE),
+        "parent_tags": oracles.q_parent_tags(docs, STYLE),
+        "minzoom_points": oracles.q_minzoom_points(docs, STYLE, MINZOOM),
+        # multipolygons / assembly_errors / tile_assignment: rows-only
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "top_customers": """
+            SELECT c_custkey, c_name, spend, n_orders FROM (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey) t
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY spend DESC, c_custkey LIMIT 100""",
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "token_stats": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars
+            FROM documents""",
+    }

@@ -236,7 +236,8 @@ class GeometryStyle:
                 clauses.append(f"map_contains_key({tags}, {key})")
             elif kind == "include":
                 lst = ", ".join(self._lit(v) for v in vals)
-                clauses.append(f"{tags}[{key}] IN ({lst})")
+                # coalesce: absent key -> NULL would poison the OR chain
+                clauses.append(f"coalesce({tags}[{key}] IN ({lst}), false)")
             else:  # exclude
                 lst = ", ".join(self._lit(v) for v in vals)
                 clauses.append(f"(map_contains_key({tags}, {key}) "

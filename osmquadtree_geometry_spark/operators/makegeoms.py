@@ -1,0 +1,93 @@
+"""G10 — MakeGeometries: classify + measure + re-tile.
+
+Reference: `/root/reference/src/process_geometry.rs:244-310`.
+  * nodes with a feature key -> points (tags filtered, layer extracted)
+  * ways with a feature key -> simple polygon when closed AND the
+    polygon-tag spec matches (area, reversed=(area<0), NO z_order),
+    else linestring (length, z_order)
+  * relations are dropped here (multipolygons are a separate operator)
+  * recalc quadtree: points via ``calculate_point(lon,lat,18,0.0)``,
+    others via ``calculate(bounds,18,0.0)``.
+
+Classification and measurement are pure Spark SQL (JVM);
+only the bbox->quadtree common-ancestor encode uses an Arrow-batched
+pandas UDF (numpy kernel).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config.style import GeometryStyle
+from ..kernels import quadtree as qtk
+from . import sqlgeom
+
+
+@F.pandas_udf(T.LongType())
+def qt_bbox_udf(minlon: pd.Series, minlat: pd.Series,
+                maxlon: pd.Series, maxlat: pd.Series) -> pd.Series:
+    import numpy as np
+    out = qtk.calculate_bbox(
+        np.asarray(minlon, dtype=np.int64), np.asarray(minlat, dtype=np.int64),
+        np.asarray(maxlon, dtype=np.int64), np.asarray(maxlat, dtype=np.int64))
+    return pd.Series(out)
+
+
+def with_bbox_quadtree(df: DataFrame, lonlats: str = "lonlats") -> DataFrame:
+    b = sqlgeom.sql_bbox(lonlats)
+    return (df
+            .withColumn("quadtree", qt_bbox_udf(
+                F.expr(b["minlon"]), F.expr(b["minlat"]),
+                F.expr(b["maxlon"]), F.expr(b["maxlat"]))))
+
+
+def make_points(nodes: DataFrame, style: GeometryStyle) -> DataFrame:
+    """points(doc_id, id, tags, lon, lat, layer, minzoom, quadtree)."""
+    return (nodes
+            .where(F.expr(style.sql_has_feature_key("tags")))
+            .select("doc_id", "id",
+                    F.expr(style.sql_filter_tags("tags")).alias("tags"),
+                    "lon", "lat",
+                    F.expr(style.sql_layer("tags")).alias("layer"),
+                    F.lit(None).cast("long").alias("minzoom"),
+                    "quadtree"))
+
+
+def make_ways(ways_ll: DataFrame, style: GeometryStyle,
+              recalc_quadtree: bool = True) -> tuple[DataFrame, DataFrame]:
+    """-> (linestrings, simple_polygons).
+
+    linestrings(doc_id, id, refs, tags, lonlats, length, z_order,
+                layer, minzoom, quadtree)
+    simple_polygons(..., area, reversed, z_order=null, ...)
+    """
+    feat = ways_ll.where(F.expr(style.sql_has_feature_key("tags")))
+    classified = feat.withColumn(
+        "is_poly",
+        F.expr(sqlgeom.sql_is_ring("refs")) & F.expr(style.sql_is_polygon("tags")))
+
+    lines = (classified.where(~F.col("is_poly"))
+             .select("doc_id", "id", "refs",
+                     F.expr(style.sql_filter_tags("tags")).alias("tags"),
+                     "lonlats",
+                     F.expr(sqlgeom.sql_line_length("lonlats")).alias("length"),
+                     F.expr(style.sql_z_order("tags")).alias("z_order"),
+                     F.expr(style.sql_layer("tags")).alias("layer"),
+                     F.lit(None).cast("long").alias("minzoom")))
+    polys = (classified.where(F.col("is_poly"))
+             .withColumn("signed_area", F.expr(sqlgeom.sql_ring_area("lonlats")))
+             .select("doc_id", "id", "refs",
+                     F.expr(style.sql_filter_tags("tags")).alias("tags"),
+                     "lonlats",
+                     F.abs(F.col("signed_area")).alias("area"),
+                     (F.col("signed_area") < 0).alias("reversed"),
+                     F.lit(None).cast("long").alias("z_order"),  # no zorder for polys
+                     F.expr(style.sql_layer("tags")).alias("layer"),
+                     F.lit(None).cast("long").alias("minzoom")))
+    if recalc_quadtree:
+        lines = with_bbox_quadtree(lines)
+        polys = with_bbox_quadtree(polys)
+    return lines, polys

@@ -1,0 +1,52 @@
+"""Spark SQL expression builders for geometry folds over
+``array<struct<lon int, lat int>>`` columns.
+
+These keep length/area/bbox computation JVM-side (higher-order
+functions, no Arrow round-trip) while reproducing the reference's
+numeric contract: mercator projection rounded to 2dp
+(`position.rs:29-33`), shoelace as ``-sum/2`` (`position.rs:134-149`).
+"""
+
+from __future__ import annotations
+
+from ..kernels.mercator import EARTH_WIDTH
+
+# 2dp-rounded mercator coords of a struct p(lon,lat)
+_MX = f"round(p.lon * 1e-7 * {EARTH_WIDTH!r} / 180.0, 2)"
+_MY = f"round(ln(tan(pi()/4.0 + radians(p.lat * 1e-7)/2.0)) / pi() * {EARTH_WIDTH!r}, 2)"
+
+
+def sql_merc(lonlats: str) -> str:
+    return f"transform({lonlats}, p -> struct({_MX} as x, {_MY} as y))"
+
+
+def sql_line_length(lonlats: str) -> str:
+    """`calc_line_length` (`position.rs:118-132`)."""
+    m = sql_merc(lonlats)
+    pair = ("zip_with(slice(_m, 1, size(_m) - 1), slice(_m, 2, size(_m) - 1), "
+            "(a, b) -> sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)))")
+    return (f"(case when size({lonlats}) < 2 then 0.0d else "
+            f"aggregate({pair.replace('_m', m)}, 0.0d, (acc, v) -> acc + v) end)")
+
+
+def sql_ring_area(lonlats: str) -> str:
+    """`calc_ring_area` (`position.rs:134-149`): -shoelace/2."""
+    m = sql_merc(lonlats)
+    pair = ("zip_with(slice(_m, 1, size(_m) - 1), slice(_m, 2, size(_m) - 1), "
+            "(a, b) -> a.x * b.y - a.y * b.x)")
+    return (f"(case when size({lonlats}) < 3 then 0.0d else "
+            f"-0.5d * aggregate({pair.replace('_m', m)}, 0.0d, (acc, v) -> acc + v) end)")
+
+
+def sql_bbox(lonlats: str) -> dict[str, str]:
+    return {
+        "minlon": f"array_min(transform({lonlats}, p -> p.lon))",
+        "minlat": f"array_min(transform({lonlats}, p -> p.lat))",
+        "maxlon": f"array_max(transform({lonlats}, p -> p.lon))",
+        "maxlat": f"array_max(transform({lonlats}, p -> p.lat))",
+    }
+
+
+def sql_is_ring(refs: str) -> str:
+    """`process_geometry.rs:260`: refs[0] == refs[last]."""
+    return f"(size({refs}) > 0 AND element_at({refs}, 1) = element_at({refs}, -1))"

@@ -1,0 +1,48 @@
+"""J1 — CollectWayNodes: resolve each way's node refs to coordinates.
+
+Reference: `/root/reference/src/waywithnodes.rs:12-117,165-197` — a
+tile-ordered streaming BTreeMap join.  Spark-first rebuild: posexplode
+the refs, equi-join the node location table, re-assemble the ordered
+coordinate list with ``array_sort(collect_list(struct(pos,...)))``.
+The tile-eviction state machine disappears — the shuffle join sees all
+locations; "missing node" errors (`waywithnodes.rs:105-109`) are
+reproduced by left-join null detection.
+
+Scale notes: the join key is the node id (dense, unskewed); OSM caps
+ways at 2000 nodes so per-way groups are bounded.  AQE skew-join
+covers pathological refs; no salting needed here.  The location table
+projects only (id, lon, lat) so the scan prunes tags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LONLAT = "array<struct<lon:int,lat:int>>"
+
+
+def collect_way_nodes(ways: DataFrame, nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """-> (ways_ll, errors).
+
+    ways_ll: doc_id, id, refs, tags, lonlats array<struct<lon,lat>>
+    errors:  elem_type='way', elem_id, message 'missing node {ref}'
+             (first missing ref in order, as the reference reports).
+    """
+    refs = ways.select("doc_id", "id", F.posexplode("refs").alias("pos", "ref"))
+    locs = nodes.select(F.col("id").alias("ref"), "lon", "lat")
+    j = refs.join(locs, "ref", "left")
+    grouped = (j.groupBy("doc_id", "id")
+               .agg(F.expr("transform(array_sort(collect_list(struct(pos, lon, lat))),"
+                           " p -> struct(p.lon as lon, p.lat as lat))").alias("lonlats"),
+                    F.min(F.when(F.col("lon").isNull(),
+                                 F.struct("pos", "ref"))).alias("first_missing")))
+    enriched = grouped.join(ways.select("doc_id", "id", "refs", "tags"),
+                            ["doc_id", "id"])
+    ok = enriched.where(F.col("first_missing").isNull()).drop("first_missing")
+    errors = (enriched.where(F.col("first_missing").isNotNull())
+              .select(F.lit("way").alias("elem_type"),
+                      F.col("id").alias("elem_id"),
+                      F.concat(F.lit("missing node "),
+                               F.col("first_missing.ref")).alias("message")))
+    return ok.select("doc_id", "id", "refs", "tags", "lonlats"), errors

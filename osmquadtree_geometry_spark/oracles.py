@@ -1,0 +1,257 @@
+"""DuckDB oracle SQL generators for the geometry pipeline.
+
+These produce *independent* re-derivations of each operator's result
+in DuckDB dialect, straight from the raw ``docs`` fixture parquet.
+The driver runs them side-by-side with the Spark queries
+(CORRECTNESS gate); because they share no code with the Spark path
+(different dialect, different formulation), agreement is strong
+evidence of correctness.
+
+Column names/aliases must match the Spark side exactly.
+"""
+
+from __future__ import annotations
+
+from .config.minzoom import MinZoomSpec
+from .config.style import GeometryStyle
+from .kernels.mercator import EARTH_WIDTH
+from .kernels.quadtree import sql_point_qt, sql_round_qt
+
+
+def _lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def base_ctes(docs_path: str) -> str:
+    """Shared CTEs: spans / nodes / way refs / rel members / tags."""
+    return f"""
+sp AS (SELECT doc_id, unnest(spans) AS s FROM read_parquet({_lit(docs_path)})),
+nd AS (SELECT doc_id,
+              cast(regexp_extract(s.text, 'id=(-?\\d+)', 1) AS bigint) AS id,
+              cast(regexp_extract(s.text, 'lon=(-?\\d+)', 1) AS int) AS lon,
+              cast(regexp_extract(s.text, 'lat=(-?\\d+)', 1) AS int) AS lat
+       FROM sp WHERE s.kind = 'node'),
+wr AS (SELECT doc_id,
+              cast(regexp_extract(s.text, 'way=(-?\\d+)', 1) AS bigint) AS way,
+              cast(regexp_extract(s.text, 'pos=(-?\\d+)', 1) AS int) AS pos,
+              cast(regexp_extract(s.text, 'ref=(-?\\d+)', 1) AS bigint) AS ref
+       FROM sp WHERE s.kind = 'way_ref'),
+rm AS (SELECT doc_id,
+              cast(regexp_extract(s.text, 'rel=(-?\\d+)', 1) AS bigint) AS rel,
+              cast(regexp_extract(s.text, 'pos=(-?\\d+)', 1) AS int) AS pos,
+              regexp_extract(s.text, 'type=(\\w+)', 1) AS mem_type,
+              cast(regexp_extract(s.text, 'ref=(-?\\d+)', 1) AS bigint) AS ref,
+              regexp_extract(s.text, 'role=(\\w*)$', 1) AS role
+       FROM sp WHERE s.kind = 'rel_member'),
+tg AS (SELECT doc_id,
+              regexp_extract(s.text, 'elem=(\\w+)', 1) AS elem,
+              cast(regexp_extract(s.text, ';id=(-?\\d+)', 1) AS bigint) AS id,
+              regexp_extract(s.text, ';k=([^;]*)', 1) AS k,
+              regexp_extract(s.text, ';v=(.*)$', 1) AS v
+       FROM sp WHERE s.kind = 'tag')
+"""
+
+
+def feature_exists(style: GeometryStyle, elem: str, id_expr: str) -> str:
+    keys = ", ".join(_lit(k) for k in style.feature_keys)
+    return (f"EXISTS (SELECT 1 FROM tg WHERE tg.elem = '{elem}' "
+            f"AND tg.id = {id_expr} AND tg.k IN ({keys}))")
+
+
+def polygon_match(style: GeometryStyle, id_expr: str) -> str:
+    clauses = []
+    for k, (kind, vals) in style.polygon_tags.items():
+        key = _lit(k)
+        if kind == "all":
+            clauses.append(f"(tg.k = {key})")
+        elif kind == "include":
+            lst = ", ".join(_lit(v) for v in vals)
+            clauses.append(f"(tg.k = {key} AND tg.v IN ({lst}))")
+        else:
+            lst = ", ".join(_lit(v) for v in vals)
+            clauses.append(f"(tg.k = {key} AND tg.v NOT IN ({lst}))")
+    alt = " OR ".join(clauses)
+    return (f"EXISTS (SELECT 1 FROM tg WHERE tg.elem = 'way' "
+            f"AND tg.id = {id_expr} AND ({alt}))")
+
+
+# mercator 2dp (position.rs:29-33), duckdb dialect
+def merc_x(lon: str) -> str:
+    return f"round({lon} * 1e-7 * {EARTH_WIDTH!r} / 180.0, 2)"
+
+
+def merc_y(lat: str) -> str:
+    return f"round(ln(tan(pi()/4.0 + radians({lat} * 1e-7)/2.0)) / pi() * {EARTH_WIDTH!r}, 2)"
+
+
+def q_decode_nodes(docs_path: str) -> str:
+    return f"""WITH {base_ctes(docs_path)},
+tc AS (SELECT id, count(*) AS n FROM tg WHERE elem = 'node' GROUP BY id)
+SELECT nd.id AS id, nd.lon AS lon, nd.lat AS lat,
+       cast(coalesce(tc.n, 0) AS bigint) AS n_tags
+FROM nd LEFT JOIN tc ON nd.id = tc.id"""
+
+
+def q_decode_ways(docs_path: str) -> str:
+    return f"""WITH {base_ctes(docs_path)}
+SELECT way AS id, cast(count(*) AS bigint) AS n_refs,
+       min_by(ref, pos) AS first_ref, max_by(ref, pos) AS last_ref
+FROM wr GROUP BY way"""
+
+
+def q_decode_relations(docs_path: str) -> str:
+    return f"""WITH {base_ctes(docs_path)}
+SELECT rel AS id, cast(count(*) AS bigint) AS n_members,
+       cast(sum(CASE WHEN mem_type = 'way' THEN 1 ELSE 0 END) AS bigint) AS n_way_members
+FROM rm GROUP BY rel"""
+
+
+def q_span_roundtrip(docs_path: str) -> str:
+    """Hash of the ORIGINAL span stream per doc — Spark computes the
+    same hash from the re-encoded (decode->encode) stream."""
+    return f"""
+WITH flat AS (
+  SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS media_ref, s.offset AS off
+  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet({_lit(docs_path)}))
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_spans,
+       md5(string_agg(kind || '|' || text || '|' || media_ref, chr(10) ORDER BY off)) AS spans_hash
+FROM flat GROUP BY doc_id"""
+
+
+def q_node_quadtree(docs_path: str, style: GeometryStyle) -> str:
+    """Feature nodes with their z18 point cell + xyz — the dialect-
+    neutral arithmetic encode runs verbatim in DuckDB."""
+    qt = sql_point_qt("nd.lon", "nd.lat")
+    return f"""WITH {base_ctes(docs_path)}
+SELECT nd.id AS id, {qt} AS quadtree
+FROM nd WHERE {feature_exists(style, 'node', 'nd.id')}"""
+
+
+def _way_pts(style: GeometryStyle) -> str:
+    """CTE fragment: ordered way points with mercator coords."""
+    return f"""
+wp AS (SELECT wr.way, wr.pos, wr.ref, nd.lon, nd.lat,
+              {merc_x('nd.lon')} AS x, {merc_y('nd.lat')} AS y
+       FROM wr JOIN nd ON wr.ref = nd.id),
+wstat AS (SELECT way, count(*) AS n, min_by(ref, pos) AS f, max_by(ref, pos) AS l
+          FROM wr GROUP BY way),
+wok AS (SELECT wr.way FROM wr LEFT JOIN nd ON wr.ref = nd.id
+        GROUP BY wr.way HAVING count(nd.id) = count(*))
+"""
+
+
+def q_line_length(docs_path: str, style: GeometryStyle) -> str:
+    """Linestring ways (feature, not polygon) with 2dp-rounded length."""
+    is_poly = polygon_match(style, "wstat.way")
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+lines AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND NOT (wstat.f = wstat.l AND {is_poly})
+),
+seg AS (SELECT wp.way,
+               sqrt(power(x - lag(x) OVER w, 2) + power(y - lag(y) OVER w, 2)) AS d
+        FROM wp JOIN lines ON wp.way = lines.way
+        WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos))
+SELECT way AS id, round(coalesce(sum(d), 0.0), 2) AS length
+FROM seg GROUP BY way"""
+
+
+def q_simple_polygon_area(docs_path: str, style: GeometryStyle) -> str:
+    """Simple-polygon ways with |area| (2dp) and reversed flag.
+    area = -shoelace/2 in 2dp mercator (position.rs:134-149)."""
+    is_poly = polygon_match(style, "wstat.way")
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+polys AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND wstat.f = wstat.l AND {is_poly}
+),
+cr AS (SELECT wp.way,
+              (x * lead(y) OVER w - y * lead(x) OVER w) AS c
+       FROM wp JOIN polys ON wp.way = polys.way
+       WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos)),
+ar AS (SELECT way, -0.5 * sum(c) AS signed_area FROM cr GROUP BY way)
+SELECT way AS id, round(abs(signed_area), 2) AS area,
+       signed_area < 0 AS reversed
+FROM ar"""
+
+
+def q_relation_tags(docs_path: str, style: GeometryStyle) -> str:
+    """Way-level aggregated relation tags (J4) — one row per
+    (way, target_key)."""
+    parts = []
+    for i, spec in enumerate(style.relation_tag_spec):
+        conds = " AND ".join(
+            f"EXISTS (SELECT 1 FROM tg WHERE tg.elem='rel' AND tg.id=r.rel "
+            f"AND tg.k={_lit(k)} AND tg.v={_lit(v)})"
+            for k, v in spec.source_filter.items())
+        val = (f"(SELECT tg.v FROM tg WHERE tg.elem='rel' AND tg.id=r.rel "
+               f"AND tg.k={_lit(spec.source_key)} LIMIT 1)")
+        if spec.op_type == "min":
+            agg = "cast(min(try_cast(val AS bigint)) AS varchar)"
+        elif spec.op_type == "max":
+            agg = "cast(max(try_cast(val AS bigint)) AS varchar)"
+        else:
+            agg = "string_agg(DISTINCT val, '; ' ORDER BY val)"
+        parts.append(f"""
+SELECT way_id, {_lit(spec.target_key)} AS target_key, {agg} AS out_val
+FROM (SELECT r.ref AS way_id, {val} AS val
+      FROM rm r WHERE r.mem_type = 'way' AND {conds}
+        AND {val} IS NOT NULL) t
+GROUP BY way_id HAVING {agg} IS NOT NULL""")
+    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"""WITH {base_ctes(docs_path)}
+SELECT * FROM ({union}) ORDER BY way_id, target_key"""
+
+
+def q_parent_tags(docs_path: str, style: GeometryStyle) -> str:
+    """Node-level parent tags (J3) — one row per (node, spec_key);
+    tie-break (priority DESC, value DESC) as documented."""
+    parts = []
+    for spec_key, sp in style.parent_tags.items():
+        nkeys = ", ".join(_lit(k) for k in sp.node_keys)
+        if sp.way_priority:
+            cases = " ".join(f"WHEN {_lit(v)} THEN {p}"
+                             for v, p in sp.way_priority.items())
+            prio = f"(CASE wt.v {cases} ELSE NULL END)"
+        else:
+            prio = "0"
+        parts.append(f"""
+SELECT node_id, {_lit(spec_key)} AS spec_key,
+       max_by(val, lpad(cast(prio AS varchar), 10, '0') || '|' || val) AS val
+FROM (
+  SELECT wr.ref AS node_id, wt.v AS val, {prio} AS prio
+  FROM wr
+  JOIN tg wt ON wt.elem = 'way' AND wt.id = wr.way AND wt.k = {_lit(sp.way_key)}
+  WHERE EXISTS (SELECT 1 FROM tg nt WHERE nt.elem = 'node'
+                AND nt.id = wr.ref AND nt.k IN ({nkeys}))
+) t WHERE prio IS NOT NULL
+GROUP BY node_id""")
+    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"""WITH {base_ctes(docs_path)}
+SELECT * FROM ({union}) ORDER BY node_id, spec_key"""
+
+
+def q_minzoom_points(docs_path: str, style: GeometryStyle,
+                     spec: MinZoomSpec) -> str:
+    """Feature-node minzoom + rounded quadtree (G14)."""
+    exact = [((k, v), z) for (k, v), z in spec.points.items() if v != "*"]
+    stars = [(k, z) for (k, v), z in spec.points.items() if v == "*"]
+    e_cases = " ".join(f"WHEN tg.k = {_lit(k)} AND tg.v = {_lit(v)} THEN {z}"
+                       for (k, v), z in exact)
+    s_cases = " ".join(f"WHEN tg.k = {_lit(k)} THEN {z}" for k, z in stars)
+    zoom = (f"(SELECT min(coalesce(CASE {e_cases} ELSE NULL END, "
+            f"CASE {s_cases} ELSE NULL END)) FROM tg "
+            f"WHERE tg.elem = 'node' AND tg.id = nd.id)")
+    qt = sql_point_qt("nd.lon", "nd.lat")
+    rqt = sql_round_qt("q0", "mz")
+    return f"""WITH {base_ctes(docs_path)},
+fz AS (SELECT nd.id AS id, {zoom} AS mz, {qt} AS q0
+       FROM nd WHERE {feature_exists(style, 'node', 'nd.id')})
+SELECT id, mz AS minzoom,
+       CASE WHEN mz IS NULL THEN q0 ELSE {rqt} END AS quadtree
+FROM fz"""

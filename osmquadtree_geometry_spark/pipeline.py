@@ -1,0 +1,107 @@
+"""End-to-end geometry pipeline: docs -> decode -> enrichment joins ->
+geometry construction -> minzoom -> tile allocation.
+
+Operator order matches the reference chain
+(`process_geometry.rs:418-524`, SURVEY §0):
+
+  decode -> CollectWayNodes (J1) -> AddParentTag (J3) ->
+  AddRelationTags (J4) -> ProcessMultiPolygons (J2) ->
+  MakeGeometries (G10) -> FindMinZoom (G14) -> tile alloc (J6)
+
+Optional stages elide exactly like the reference
+(`process_geometry.rs:444-459`): no parent_tags spec -> no J3, no
+relation_tag_spec -> no J4, style.multipolygons=false -> no J2,
+minzoom=None -> no G14.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config.minzoom import MinZoomSpec
+from .config.style import GeometryStyle
+from .decode import decode_all, read_docs
+from .operators.makegeoms import make_points, make_ways
+from .operators.minzoom import find_minzoom
+from .operators.multipolygons import process_multipolygons
+from .operators.parenttags import add_parent_tags
+from .operators.relationtags import add_relation_tags
+from .operators.tiles import allocate_tiles, tile_dictionary
+from .operators.waynodes import collect_way_nodes
+
+EMPTY_ERRORS = "elem_type string, elem_id long, message string"
+
+
+@dataclass
+class PipelineResult:
+    points: DataFrame
+    linestrings: DataFrame
+    simple_polygons: DataFrame
+    complicated_polygons: DataFrame
+    errors: DataFrame
+    decoded: dict = field(default_factory=dict)
+
+
+def run_pipeline(spark: SparkSession, docs_path: str,
+                 style: GeometryStyle | None = None,
+                 minzoom: MinZoomSpec | None = None,
+                 with_tiles: bool = True,
+                 tile_group_depth: int = 8) -> PipelineResult:
+    style = style or GeometryStyle()
+    docs = read_docs(spark, docs_path)
+    t = decode_all(docs)
+    nodes, ways, relations = t["nodes"], t["ways"], t["relations"]
+
+    ways_ll, err_w = collect_way_nodes(ways, nodes)
+
+    if style.parent_tags:
+        nodes = add_parent_tags(nodes, ways_ll, style)
+    if style.relation_tag_spec:
+        ways_ll = add_relation_tags(ways_ll, relations, style)
+
+    if style.multipolygons:
+        cpolys, err_r = process_multipolygons(relations, ways_ll, style)
+    else:
+        cpolys = spark.createDataFrame(
+            [], "doc_id string, id long, tags map<string,string>, "
+                "parts array<struct<exterior:array<struct<lon:int,lat:int>>,"
+                "interiors:array<array<struct<lon:int,lat:int>>>,area:double>>, "
+                "area double, z_order long, layer long, minzoom long, "
+                "quadtree long, wkb binary")
+        err_r = spark.createDataFrame([], EMPTY_ERRORS)
+
+    points = make_points(nodes, style)
+    lines, spolys = make_ways(ways_ll, style)
+
+    if minzoom is not None:
+        points, lines, spolys, cpolys = find_minzoom(
+            points, lines, spolys, cpolys, minzoom)
+
+    if with_tiles:
+        # registered tile set from ALL node locations (the reference's
+        # tile set comes from the input block structure, i.e. the full
+        # data distribution — not just emitted features)
+        tiles = tile_dictionary(t["nodes"], tile_group_depth)
+        points = allocate_tiles(points, tiles)
+        lines = allocate_tiles(lines, tiles)
+        spolys = allocate_tiles(spolys, tiles)
+        cpolys = allocate_tiles(cpolys, tiles)
+
+    return PipelineResult(
+        points=points, linestrings=lines, simple_polygons=spolys,
+        complicated_polygons=cpolys,
+        errors=err_w.unionByName(err_r), decoded=t)
+
+
+def feature_counts(res: PipelineResult) -> DataFrame:
+    """CollectWorkingTiles-style counters (`process_geometry.rs:157-216`)."""
+    def c(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy().agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("geom_type"), "n")
+    return (c(res.points, "points")
+            .unionByName(c(res.linestrings, "linestrings"))
+            .unionByName(c(res.simple_polygons, "simple_polygons"))
+            .unionByName(c(res.complicated_polygons, "complicated_polygons")))

@@ -1,0 +1,168 @@
+"""End-to-end pipeline golden tests over the scene fixtures
+(FIXTURES.md §4).  Scene instance k of scene s lives in doc
+i = s + 11*k with entity ids i*1000 + n."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_geometry_spark.config.minzoom import MinZoomSpec
+from osmquadtree_geometry_spark.kernels import geomcalc
+from osmquadtree_geometry_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs_path):
+    res = run_pipeline(spark, docs_path, minzoom=MinZoomSpec.default())
+    for df in (res.points, res.linestrings, res.simple_polygons,
+               res.complicated_polygons, res.errors):
+        df.cache().count()
+    return res
+
+
+def test_points_scene(result):
+    # doc 0 (scene_points): nodes 1-4 are features, 5/6 location-only
+    pts = {r.id: r for r in result.points.where(
+        (F.col("id") >= 1) & (F.col("id") <= 6)).collect()}
+    assert set(pts) == {1, 2, 3, 4}
+    assert pts[2].layer == 2
+    assert pts[4].layer is None  # unparsable layer tag
+    assert pts[1].tags == {"amenity": "cafe", "name": "A"}
+    assert pts[3].minzoom == 16  # highway=bus_stop rule
+
+
+def test_line_vs_poly(result):
+    # doc 1 (scene_line_vs_poly): base id 1000
+    ln = {r.id: r for r in result.linestrings.where(
+        F.col("doc_id") == "doc-000000001").collect()}
+    sp = {r.id: r for r in result.simple_polygons.where(
+        F.col("doc_id") == "doc-000000001").collect()}
+    assert 1010 in ln            # open way
+    assert 1012 in ln            # closed but highway=footway -> line
+    assert 1011 in sp and 1013 in sp
+    assert sp[1011].reversed is False   # clockwise coords -> positive area
+    assert sp[1013].reversed is True    # ccw -> reversed
+    assert ln[1010].z_order == 330      # residential
+    assert ln[1010].length > 0
+    assert sp[1011].area > 0
+
+
+def test_line_length_matches_kernel(result, decoded):
+    row = result.linestrings.where(F.col("id") == 1010).first()
+    lon = np.asarray([p.lon for p in row.lonlats])
+    lat = np.asarray([p.lat for p in row.lonlats])
+    assert row.length == pytest.approx(geomcalc.line_length(lon, lat), abs=1e-6)
+
+
+def test_simple_polygon_area_matches_kernel(result):
+    row = result.simple_polygons.where(F.col("id") == 1011).first()
+    lon = np.asarray([p.lon for p in row.lonlats])
+    lat = np.asarray([p.lat for p in row.lonlats])
+    assert row.area == pytest.approx(abs(geomcalc.ring_area(lon, lat)), abs=1e-6)
+
+
+def test_donut_multipolygon(result):
+    row = result.complicated_polygons.where(F.col("id") == 2060).first()
+    assert row is not None
+    assert row.tags == {"landuse": "forest", "type": "multipolygon"}
+    assert len(row.parts) == 1
+    p = row.parts[0]
+    assert len(p.interiors) == 1
+    # winding: exterior positive, part area = ext + int < ext
+    elon = np.asarray([q.lon for q in p.exterior])
+    elat = np.asarray([q.lat for q in p.exterior])
+    assert geomcalc.ring_area(elon, elat) > 0
+    assert 0 < p.area < geomcalc.ring_area(elon, elat)
+    assert row.area == pytest.approx(p.area)
+    assert row.wkb[:1] == b"\x01"
+
+
+def test_multi_part(result):
+    row = result.complicated_polygons.where(F.col("id") == 3080).first()
+    assert len(row.parts) == 2
+    n_inner = sum(len(p.interiors) for p in row.parts)
+    assert n_inner == 2  # orphan inner dropped
+    import struct as st
+    assert st.unpack("<I", row.wkb[1:5])[0] == 6 + (32 << 24)  # MultiPolygon+SRID
+
+
+def test_missing_member_errors(result):
+    errs = {(r.elem_type, r.elem_id): r.message for r in result.errors.collect()}
+    # doc 4 (scene_missing_member): way 4010 misses node 4999
+    assert errs.get(("way", 4010)) == "missing node 4999"
+    # relation 4020 references missing way 4888 but way 4011 exists ->
+    # assembles fine (reference skips missing members) — NOT an error
+    assert ("relation", 4020) not in errs
+
+
+def test_missing_member_relation_still_assembles(result):
+    row = result.complicated_polygons.where(F.col("id") == 4020).first()
+    assert row is not None and len(row.parts) == 1
+
+
+def test_parent_tags(result):
+    # doc 5 (scene_parent_tags): bus stop node 5001 on residential+primary
+    row = result.points.where(F.col("id") == 5001).first()
+    assert row.tags.get("parent_highway") == "primary"
+    # railway node on service way: empty priority map -> prio 0
+    row2 = result.points.where(F.col("id") == 5006).first()
+    assert row2.tags.get("parent_service") == "siding"
+
+
+def test_relation_tags(result):
+    # doc 6 (scene_relation_tags): w1=6010 in rels with admin_level 4,6
+    ln = {r.id: r for r in result.linestrings.where(
+        F.col("doc_id") == "doc-000000006").collect()}
+    assert ln[6010].tags["min_admin_level"] == "4"
+    assert ln[6010].tags["max_admin_level"] == "6"
+    # bus routes 42, 7, 42-dup -> sorted distinct "42; 7"
+    assert ln[6010].tags["bus_routes"] == "42; 7"
+    assert ln[6011].tags["bus_routes"] == "42"
+    assert ln[6011].tags["min_admin_level"] == "4"
+
+
+def test_minzoom_and_qt_round(result):
+    from osmquadtree_geometry_spark.kernels import quadtree as qt
+    # doc 8 (scene_minzoom): place=city node 8001 -> minzoom 6
+    row = result.points.where(F.col("id") == 8001).first()
+    assert row.minzoom == 6
+    assert int(qt.depth(np.asarray([row.quadtree]))[0]) == 6
+    # wildcard: place=hamlet -> 14
+    row2 = result.points.where(F.col("id") == 8002).first()
+    assert row2.minzoom == 14
+    # polygons: SQL minzoom must equal the transcribed python spec
+    spec = MinZoomSpec.default()
+    for pid in (8030, 8050):
+        b = result.simple_polygons.where(F.col("id") == pid).first()
+        expected = spec.find_polygon(dict(b.tags), b.area)
+        assert b.minzoom == expected, (pid, b.area, b.minzoom, expected)
+    # tiny shed: area floor pulls zoom ABOVE the building tag zoom (14)
+    b = result.simple_polygons.where(F.col("id") == 8030).first()
+    assert b.minzoom > 14
+
+
+def test_tile_allocation(result):
+    from osmquadtree_geometry_spark.kernels import quadtree as qt
+    rows = result.points.select("quadtree", "tile").collect()
+    for r in rows:
+        if r.tile >= 0:
+            assert bool(qt.is_parent(np.asarray([r.tile]),
+                                     np.asarray([r.quadtree]))[0])
+            assert int(qt.depth(np.asarray([r.tile]))[0]) <= 8
+
+
+def test_skew_scene_mega_relation(result):
+    # doc 10 (scene_skew): 48-way ring assembles into one polygon
+    row = result.complicated_polygons.where(F.col("id") == 10900).first()
+    assert row is not None
+    assert len(row.parts) == 1
+    assert len(row.parts[0].exterior) == 97  # 96 ring nodes + closure
+
+
+def test_feature_counts(result):
+    from osmquadtree_geometry_spark.pipeline import feature_counts
+    counts = {r.geom_type: r.n for r in feature_counts(result).collect()}
+    assert counts["points"] > 0
+    assert counts["linestrings"] > 0
+    assert counts["simple_polygons"] > 0
+    assert counts["complicated_polygons"] > 0
