@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (sec, headline = full geometry
+pipeline), "unit", "queries" {name: sec}, "sf", plus throughput
+extras}.
+
+--scaling: runs the identical pipeline job at local[8] and local[32]
+in fresh subprocesses (same input), reports docs/sec at both and the
+scaling efficiency (BASELINE.md protocol: efficiency =
+(T_small/T_big)/(cpus_big/cpus_small), target >= 0.8), and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_value(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _spark(cpus: int):
+    from osmquadtree_geometry_spark.session import get_spark
+    return get_spark("bench", master=f"local[{cpus}]",
+                     shuffle_partitions=max(cpus, 8))
+
+
+def run_pipeline_once(spark, sf_dir: str) -> tuple[float, int, dict]:
+    """The headline job: docs -> full geometry pipeline -> counts.
+    Returns (seconds, n_docs, output_counts)."""
+    from osmquadtree_geometry_spark.datagen import fixture_docs_path
+    from osmquadtree_geometry_spark.config.minzoom import MinZoomSpec
+    from osmquadtree_geometry_spark.pipeline import run_pipeline
+
+    docs_path = fixture_docs_path(sf_dir)
+    n_docs = spark.read.parquet(docs_path).count()
+    t0 = time.monotonic()
+    res = run_pipeline(spark, docs_path, minzoom=MinZoomSpec.default())
+    counts = {
+        "points": res.points.count(),
+        "linestrings": res.linestrings.count(),
+        "simple_polygons": res.simple_polygons.count(),
+        "complicated_polygons": res.complicated_polygons.count(),
+        "errors": res.errors.count(),
+    }
+    dt = time.monotonic() - t0
+    return dt, n_docs, counts
+
+
+def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
+    spark = _spark(cpus)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    timings: dict[str, float] = {}
+
+    # headline: full geometry pipeline
+    pipe_sec, n_docs, counts = run_pipeline_once(spark, sf_dir)
+    timings["geometry_pipeline"] = round(pipe_sec, 3)
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    qs = entry.queries()
+    for name in ["span_roundtrip", "multipolygons", "tile_assignment",
+                 "line_length", "parent_tags", "relation_tags",
+                 "lineitem_agg", "top_customers", "dedup_exact",
+                 "token_stats"]:
+        if name in qs:
+            timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # spatial layer on the pipeline outputs
+    from osmquadtree_geometry_spark.spatial import joins as sj
+    res = entry._pipeline(spark, sf_dir)
+    timed("pip_join", lambda: sj.point_in_polygon_join(
+        res.points, res.simple_polygons, cell_depth=10).count())
+    timed("knn_join", lambda: sj.knn_join(
+        res.points.limit(2000), res.points, k=5, cell_depth=8,
+        max_rings=1).count())
+    timed("raster_vector_join", lambda: sj.raster_vector_join(
+        res.decoded["media"], res.points).count())
+
+    # training-data ops on the driver's documents/embeddings tables
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from osmquadtree_geometry_spark import dedup, similarity
+    timed("minhash_lsh", lambda: dedup.minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4).count())
+    timed("simhash_pairs", lambda: dedup.simhash_near_pairs(
+        docs, max_hamming=3).count())
+    q5 = emb.orderBy("vec_id").limit(5).selectExpr(
+        "vec_id as query_id", "embedding as qe")
+    timed("ann_brute_force", lambda: similarity.brute_force_topk(
+        emb, q5, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "spatial-join + tile-assignment throughput (full geometry "
+                  "pipeline wall sec; docs_per_sec in extras)",
+        "value": timings["geometry_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_value(sf_dir),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipe_sec, 1),
+        "cpus": cpus,
+        "total_sec": total,
+        "output_counts": counts,
+    }
+
+
+def run_scaling(sf_dir: str = SF_DIR, small: int = 8, big: int = 32) -> dict:
+    """Two-parallelism scaling evidence (BASELINE.md protocol)."""
+    results = {}
+    for cpus in (small, big):
+        out = subprocess.run(
+            [sys.executable, __file__, "--pipeline-only"],
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
+                 "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_small = results[small]["value"]
+    t_big = results[big]["value"]
+    eff = (t_small / t_big) / (big / small)
+    summary = {
+        "sf": _sf_value(sf_dir),
+        "n_docs": results[small]["n_docs"],
+        f"local[{small}]_sec": t_small,
+        f"local[{big}]_sec": t_big,
+        f"docs_per_sec_{small}": results[small]["docs_per_sec"],
+        f"docs_per_sec_{big}": results[big]["docs_per_sec"],
+        "speedup": round(t_small / t_big, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    return summary
+
+
+def main() -> None:
+    if "--pipeline-only" in sys.argv:
+        spark = _spark(CPUS)
+        sec, n_docs, counts = run_pipeline_once(spark, SF_DIR)
+        print(json.dumps({
+            "metric": "geometry pipeline", "value": round(sec, 3),
+            "unit": "sec", "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / sec, 1), "cpus": CPUS,
+            "queries": {"geometry_pipeline": round(sec, 3)},
+            "sf": _sf_value(SF_DIR)}))
+        return
+    if "--scaling" in sys.argv:
+        summary = run_scaling()
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write("# BENCH/BASELINE — scaling evidence\n\n")
+            f.write("Identical geometry-pipeline job, identical input, two "
+                    "parallelism levels (north-rule protocol: N vs 4N "
+                    "executors evidenced as local[8] vs local[32]).\n\n")
+            f.write("| key | value |\n|---|---|\n")
+            for k, v in summary.items():
+                f.write(f"| {k} | {v} |\n")
+            ok = summary["scaling_efficiency"] >= 0.8
+            f.write(f"\nEfficiency target >= 0.8: "
+                    f"{'MET' if ok else 'NOT MET'}\n")
+        print(json.dumps(summary))
+        return
+    print(json.dumps(run_headline()))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kernels.quadtree import sql_point_qt
+from .operators.udfs import qt_point_udf
 
 
 def read_docs(spark: SparkSession, path: str) -> DataFrame:
@@ -66,7 +66,7 @@ def decode_nodes(spans: DataFrame) -> DataFrame:
     tags = _tags_for(spans, "node")
     out = (n.join(tags, ["doc_id", "id"], "left")
            .withColumn("tags", F.coalesce("tags", F.expr("map()")))
-           .withColumn("quadtree", F.expr(sql_point_qt("lon", "lat"))))
+           .withColumn("quadtree", qt_point_udf("lon", "lat")))
     return out
 
 

@@ -1,0 +1,148 @@
+"""Deduplication operators over the ``documents`` table — first-class
+components of the 100TB training-data pipeline (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+All hashing is deterministic and engine-portable (md5), so every
+operator has a DuckDB-expressible oracle.  Shuffle structure:
+  * exact: one hash-groupBy (map-side combine).
+  * minhash LSH: docs -> shingles -> per-doc signature (aggregate,
+    no shuffle) -> explode bands -> groupBy band bucket (only buckets
+    with >1 doc survive) -> pair join inside buckets.
+  * simhash: per-doc 64-bit fingerprint, band-bucketed the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated text."""
+    return (docs.groupBy(F.md5(text_col).alias("text_hash"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keeper"))
+            .where(F.col("n_dups") > 1))
+
+
+def _shingles(text_col: str, n: int) -> str:
+    """word n-gram shingles (SQL, JVM-side)."""
+    toks = f"split(trim({text_col}), '{TOKEN_RE}')"
+    return (f"(case when size({toks}) < {n} then array(array_join({toks}, ' ')) "
+            f"else transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> array_join(slice({toks}, i, {n}), ' ')) end)")
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
+                       shingle: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<string>): per-doc minhash signature — the
+    i-th component is min(md5(shingle || '#' || i)) over shingles.
+    md5-based so DuckDB reproduces it verbatim."""
+    sh = _shingles(text_col, shingle)
+    comps = [f"array_min(transform({sh}, s -> md5(concat(s, '#', {i}))))"
+             for i in range(n_hashes)]
+    return docs.select("doc_id", F.expr(f"array({', '.join(comps)})").alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+                      shingle: int = 3, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket
+    (band = md5 of its signature slice).  Returns (a, b, n_bands)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, shingle, text_col)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> md5(array_join("
+            f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}), '|')))"))
+        .alias("band", "bucket"))
+    a = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"]).where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("n_bands")))
+
+
+def simhash(docs: DataFrame, bits: int = 32, shingle: int = 2,
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): per-doc SimHash — bit j of the
+    fingerprint is the sign of the sum over shingles of
+    (bit j of md5(shingle)) ? +1 : -1.  Pure SQL (JVM-side)."""
+    sh = _shingles(text_col, shingle)
+    # per-shingle: take 8 hex chars -> 32-bit int
+    hv = "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+    bit_sums = ", ".join(
+        f"aggregate({sh}, 0L, (acc, s) -> acc + "
+        f"(case when ({hv} div {1 << j}) % 2 = 1 then 1 else -1 end))"
+        for j in range(bits))
+    combine = " + ".join(
+        f"(case when element_at(_bs, {j + 1}) > 0 then {1 << j}L else 0L end)"
+        for j in range(bits))
+    return docs.select(
+        "doc_id",
+        F.expr(f"array({bit_sums})").alias("_bs")
+    ).select("doc_id", F.expr(combine).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = 32, shingle: int = 2,
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into
+    (max_hamming+1) chunks — any pair within the hamming radius shares
+    at least one exact chunk (pigeonhole) -> equi-join on chunks, then
+    exact hamming filter via bit_count."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    s = simhash(docs, bits, shingle, text_col)
+    chunks = s.select(
+        "doc_id", "simhash",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {n_chunks - 1}), "
+            f"c -> (simhash div cast(pow(2, c * {chunk_bits}) as bigint)) "
+            f"% {1 << chunk_bits})")).alias("chunk_idx", "chunk"))
+    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
+                      "chunk_idx", "chunk")
+    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
+                      "chunk_idx", "chunk")
+    cand = (a.join(b, ["chunk_idx", "chunk"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb").distinct())
+    return (cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        shingle: int = 3, text_col: str = "text",
+                        block_col: str = "source") -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key
+    (full cross-products don't scale; block by ``source`` — swap in
+    LSH buckets from minhash_lsh_pairs for the unblocked path)."""
+    sh = docs.select("doc_id", F.col(block_col).alias("blk"),
+                     F.expr(f"array_distinct({_shingles(text_col, shingle)})")
+                     .alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "blk", F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b"), "blk", F.col("sh").alias("shb"))
+    j = (a.join(b, "blk").where(F.col("a") < F.col("b"))
+         .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
+         .withColumn("uni", F.expr("size(array_union(sha, shb))"))
+         .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+         .where(F.col("jaccard") >= threshold))
+    return j.select("a", "b", "jaccard")
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             block_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-dup within a blocking key (exact cosine;
+    for the unblocked scale path see similarity.lsh_ann)."""
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"
+    nrm = "sqrt(aggregate(%s, 0.0d, (a, v) -> a + cast(v as double) * v))"
+    a = emb.select(F.col("vec_id").alias("a"), F.col(block_col).alias("blk"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col(block_col).alias("blk"),
+                   F.col("embedding").alias("eb"))
+    return (a.join(b, "blk").where(F.col("a") < F.col("b"))
+            .withColumn("cosine", F.round(
+                F.expr(dot) / (F.expr(nrm % "ea") * F.expr(nrm % "eb")), 6))
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))

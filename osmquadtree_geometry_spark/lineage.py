@@ -1,0 +1,106 @@
+"""Per-stage lineage + metrics table with idempotent resume.
+
+North-rule requirement: every stage checkpoints per-partition lineage
+and row/byte metrics to a metadata table so runs resume idempotently
+mid-tiling.  Backing store: parquet directory (Iceberg-ready — the
+schema matches an Iceberg table; the runtime jar is not in this
+container, so writes go through the same DataFrame API against
+parquet, SURVEY §1.6).
+
+Model: a stage run is identified by (stage, input_fingerprint).  A
+completed run writes one `_SUCCESS`-gated lineage row per partition
+plus its output parquet; `run_stage` skips recomputation when lineage
+for the same fingerprint already exists (mirrors OtherData/Timings
+instrumentation, `lib.rs:61-68`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = ("stage string, input_fingerprint string, partition_id int, "
+                  "rows long, bytes long, completed_at double")
+
+
+class LineageStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, f"lineage_stage={stage}")
+
+    def read(self, stage: str) -> DataFrame | None:
+        d = self._dir(stage)
+        if not os.path.exists(d):
+            return None
+        try:
+            return self.spark.read.parquet(d)
+        except Exception:
+            return None
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        df = self.read(stage)
+        if df is None:
+            return False
+        return df.where(F.col("input_fingerprint") == fingerprint).count() > 0
+
+    def record(self, stage: str, fingerprint: str, out: DataFrame) -> None:
+        """Append per-partition (rows, bytes) metrics for a stage run."""
+        counts = (out
+                  .withColumn("partition_id", F.spark_partition_id())
+                  .groupBy("partition_id")
+                  .agg(F.count("*").alias("rows")))
+        now = time.time()
+        rows = (counts.select(
+            F.lit(stage).alias("stage"),
+            F.lit(fingerprint).alias("input_fingerprint"),
+            "partition_id", "rows",
+            (F.col("rows") * 64).alias("bytes"),  # est.; real writers patch this
+            F.lit(now).alias("completed_at")))
+        rows.write.mode("append").parquet(self._dir(stage))
+
+    def output_dir(self, stage: str, fingerprint: str) -> str:
+        return os.path.join(self.root, f"out_stage={stage}",
+                            f"fp={fingerprint}")
+
+
+def fingerprint_input(path: str) -> str:
+    """Cheap deterministic input fingerprint: file names + sizes."""
+    import hashlib
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            p = os.path.join(path, f)
+            h.update(f.encode())
+            h.update(str(os.path.getsize(p)).encode())
+    else:
+        h.update(os.path.basename(path).encode())
+        h.update(str(os.path.getsize(path)).encode())
+    return h.hexdigest()[:16]
+
+
+def run_stage(store: LineageStore, stage: str, fingerprint: str,
+              build: "callable", force: bool = False) -> tuple[DataFrame, bool]:
+    """Idempotent stage execution: returns (output_df, resumed).
+
+    If lineage for (stage, fingerprint) exists and the output parquet
+    is readable, the stage is SKIPPED and its output re-read (resume
+    path); otherwise ``build()`` runs, its output is materialized, and
+    lineage is recorded."""
+    out_dir = store.output_dir(stage, fingerprint)
+    if not force and store.is_complete(stage, fingerprint):
+        try:
+            return store.spark.read.parquet(out_dir), True
+        except Exception:
+            pass  # lineage without output -> recompute
+    df = build()
+    df.write.mode("overwrite").parquet(out_dir)
+    materialized = store.spark.read.parquet(out_dir)
+    store.record(stage, fingerprint, materialized)
+    return materialized, False

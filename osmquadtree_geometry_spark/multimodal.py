@@ -1,0 +1,82 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched
+``mapInPandas``.
+
+The decode step is STUBBED (image/audio libs are not in this
+container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (seeded from
+the payload hash) produces stable feature vectors — the Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
+real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("doc_id string, media_ref string, kind string, "
+                "payload binary, width int, height int")
+
+FEATURE_SCHEMA = ("doc_id string, media_ref string, kind string, "
+                  "width int, height int, n_bytes long, "
+                  "features array<float>")
+
+
+def synth_media_table(media: DataFrame) -> DataFrame:
+    """Attach a deterministic opaque payload to each media span
+    (stands in for fetched raster tiles): payload = md5-stream of the
+    tile ref, sized by zoom."""
+    return media.select(
+        "doc_id", F.col("tile").alias("media_ref"),
+        F.lit("image/png").alias("kind"),
+        F.to_binary(F.md5("tile"), F.lit("hex")).alias("payload"),
+        F.lit(256).alias("width"), F.lit(256).alias("height"))
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def decode_image(payload: bytes, *, fake: bool = False, dim: int = 8) -> np.ndarray:
+    """STUB: real image decode requires PIL/libvips (absent here)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in "
+            "this container; pass fake=True for the deterministic stub")
+    return _fake_decode(payload, dim)
+
+
+def extract_features(media_bin: DataFrame, dim: int = 8,
+                     fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads — the real
+    batch shape a decode/resize/embed stage would use (one Arrow batch
+    in, one out; no per-row Python UDF)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, fake=fake, dim=dim).tolist()
+                     for p in pdf["payload"]]
+            out = pdf[["doc_id", "media_ref", "kind", "width", "height"]].copy()
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            out["features"] = feats
+            yield out
+
+    return media_bin.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(video: DataFrame, every_n: int = 10) -> DataFrame:
+    """Plumbing for frame sampling: (doc_id, media_ref, frame_idx)
+    rows for frames 0, n, 2n, ... of a declared frame count column —
+    pure SQL fan-out; the decode itself is the stubbed step."""
+    return video.select(
+        "doc_id", "media_ref",
+        F.explode(F.expr(f"sequence(0, greatest(n_frames - 1, 0), {every_n})"))
+        .alias("frame_idx"))

@@ -49,18 +49,33 @@ def run_pipeline(spark: SparkSession, docs_path: str,
                  style: GeometryStyle | None = None,
                  minzoom: MinZoomSpec | None = None,
                  with_tiles: bool = True,
-                 tile_group_depth: int = 8) -> PipelineResult:
+                 tile_group_depth: int = 8,
+                 persist: bool = True) -> PipelineResult:
     style = style or GeometryStyle()
     docs = read_docs(spark, docs_path)
     t = decode_all(docs)
     nodes, ways, relations = t["nodes"], t["ways"], t["relations"]
+    if persist:
+        # the decoded tables feed several downstream branches (points +
+        # way join + relation joins + tile dictionary); persisting here
+        # prevents each output from re-running the decode shuffles
+        nodes = nodes.persist()
+        ways = ways.persist()
+        relations = relations.persist()
+        t["nodes"], t["ways"], t["relations"] = nodes, ways, relations
 
     ways_ll, err_w = collect_way_nodes(ways, nodes)
+    if persist:
+        ways_ll = ways_ll.persist()
 
     if style.parent_tags:
         nodes = add_parent_tags(nodes, ways_ll, style)
     if style.relation_tag_spec:
         ways_ll = add_relation_tags(ways_ll, relations, style)
+        if persist:
+            # enriched ways feed both multipolygon assembly and
+            # line/polygon classification
+            ways_ll = ways_ll.persist()
 
     if style.multipolygons:
         cpolys, err_r = process_multipolygons(relations, ways_ll, style)

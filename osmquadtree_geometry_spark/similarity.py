@@ -1,0 +1,90 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: brute-force cosine top-k (broadcast the query set, JVM-side
+``aggregate``/``zip_with`` dot products, window top-k).  Scale path:
+random-hyperplane LSH bucketing — candidates share a signed-projection
+bucket, exact cosine re-rank inside buckets.  Hyperplanes are
+deterministic (seeded), so results are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_DOT = "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"
+_NRM = "sqrt(aggregate(%s, 0.0d, (a, v) -> a + cast(v as double) * v))"
+
+
+def _cosine_col():
+    return F.round(F.expr(_DOT) / (F.expr(_NRM % "qe") * F.expr(_NRM % "embedding")), 6)
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, vec_id, cosine) — exact top-k by cosine.
+    ``queries``: (query_id, qe array<float>); broadcast (small side)."""
+    j = (emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+         .withColumn("cosine", _cosine_col()))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (j.select("query_id", "vec_id", "cosine")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray) -> str:
+    """Signed-projection bucket id (JVM-side fold per plane)."""
+    bits = []
+    for i, p in enumerate(planes):
+        coeffs = ", ".join(f"{float(c)!r}" for c in p)
+        proj = (f"aggregate(zip_with({vec_col}, array({coeffs}), "
+                f"(x, c) -> cast(x as double) * c), 0.0d, (a, v) -> a + v)")
+        bits.append(f"(case when {proj} > 0 then {1 << i}L else 0L end)")
+    return " + ".join(bits)
+
+
+def lsh_ann_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 n_planes: int = 8, n_tables: int = 2,
+                 dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in any of
+    ``n_tables`` hash tables; exact cosine re-rank on candidates.
+    Shuffle is an equi-join on (table, bucket) — no cross product."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+    tabs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        tabs.append((t, planes))
+
+    e_parts = []
+    q_parts = []
+    for t, planes in tabs:
+        e_parts.append(emb.select(
+            "vec_id", "embedding",
+            F.lit(t).alias("tab"),
+            F.expr(_bucket_expr("embedding", planes)).alias("bucket")))
+        q_parts.append(queries.select(
+            "query_id", "qe",
+            F.lit(t).alias("tab"),
+            F.expr(_bucket_expr("qe", planes)).alias("bucket")))
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    q = q_parts[0]
+    for p in q_parts[1:]:
+        q = q.unionByName(p)
+
+    cand = (q.join(e, ["tab", "bucket"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "qe", "vec_id", "embedding").distinct())
+    scored = cand.withColumn("cosine", _cosine_col())
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (scored.select("query_id", "vec_id", "cosine")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))

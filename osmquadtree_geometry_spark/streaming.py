@@ -1,0 +1,86 @@
+"""Structured Streaming surface.
+
+The reference has no streaming operators (SURVEY §2.6) — its
+tile-ordered eviction is the moral equivalent of a watermark.  This
+module provides the streaming shape a live feed would use:
+
+  * ``stream_decode``: docs arriving as a stream -> decoded node
+    stream (same JVM-side decode as batch).
+  * ``streaming_tile_counts``: windowed per-tile feature counts with a
+    watermark for late data.
+  * ``streaming_events_rollup``: generic windowed agg over the
+    ``events`` table shape (ts/user_id/event_type/value).
+
+Local tests drive these with the file source + ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import DOCS_SCHEMA  # pyarrow schema (shape reference)
+from .decode import decode_nodes, explode_spans
+from .kernels.quadtree import sql_round_qt
+
+DOCS_DDL = ("doc_id string, spans array<struct<kind:string, text:string, "
+            "media_ref:string, offset:int>>")
+
+
+def stream_docs(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.readStream.schema(DOCS_DDL).parquet(path))
+
+
+def stream_decode_nodes(docs_stream: DataFrame) -> DataFrame:
+    """Streaming stage-0: spans -> nodes (stateless, no shuffle).
+    Tag enrichment needs a groupBy and belongs to the batch layer;
+    the streaming path emits location/tagless candidates."""
+    spans = explode_spans(docs_stream)
+    n = (spans.where(F.col("kind") == "node")
+         .select("doc_id",
+                 F.col("m")["id"].cast("long").alias("id"),
+                 F.col("m")["lon"].cast("int").alias("lon"),
+                 F.col("m")["lat"].cast("int").alias("lat"))
+         .where(F.col("id").isNotNull()))
+    from .operators.udfs import qt_point_udf
+    return n.withColumn("quadtree", qt_point_udf("lon", "lat"))
+
+
+def streaming_tile_counts(node_stream: DataFrame, tile_depth: int = 8,
+                          with_ts: bool = True) -> DataFrame:
+    """Per-tile arrival counts; complete-mode aggregate (file-source
+    demos) — swap in a watermark + window when the source carries
+    event time."""
+    return (node_stream
+            .withColumn("tile", F.expr(sql_round_qt("quadtree", str(tile_depth))))
+            .groupBy("tile")
+            .agg(F.count("*").alias("n_nodes")))
+
+
+def streaming_events_rollup(spark: SparkSession, events_path: str,
+                            window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Watermarked windowed rollup over the events stream shape."""
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import os
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    ev = reader.parquet(events_path)
+    return (ev.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total_value"))
+
+
+def run_stream_to_memory(q_df: DataFrame, name: str, mode: str = "complete"):
+    """Drive a streaming DF to completion against a memory sink (test
+    harness): returns the query handle after processAllAvailable."""
+    q = (q_df.writeStream.outputMode(mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,89 @@
+"""Text analysis operators over the ``documents`` table: language-ID
+(stopword-ratio heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), rolling-hash document fingerprinting.
+
+All deterministic, all JVM-side SQL (no Python in the hot path), all
+DuckDB-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "du", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "un", "una", "por"],
+}
+
+_TOKS = "split(lower(trim(text)), '\\\\s+')"
+
+
+def _stop_ratio(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"size(filter({_TOKS}, t -> t IN ({lst}))) / "
+            f"cast(greatest(size({_TOKS}), 1) as double)")
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax stopword-hit ratio;
+    'und' (undetermined) when every ratio is 0."""
+    scores = [F.expr(_stop_ratio(lg)).alias(f"r_{lg}") for lg in STOPWORDS]
+    df = docs.select("doc_id", *scores)
+    arr = F.array(*[
+        F.struct(F.col(f"r_{lg}").alias("score"), F.lit(lg).alias("lang"))
+        for lg in STOPWORDS])
+    best = F.expr(
+        "element_at(array_sort({}, (a, b) -> case when a.score > b.score then -1 "
+        "when a.score < b.score then 1 when a.lang < b.lang then -1 else 1 end), 1)"
+        .format("array({})".format(", ".join(
+            f"struct(r_{lg} as score, '{lg}' as lang)" for lg in STOPWORDS))))
+    return (df.withColumn("best", best)
+            .select("doc_id",
+                    F.when(F.col("best.score") > 0, F.col("best.lang"))
+                    .otherwise(F.lit("und")).alias("lang_pred"),
+                    F.round("best.score", 6).alias("lang_score")))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio_en,
+    quality): length/punct/stopword heuristics combined into [0,1]."""
+    n_toks = f"size({_TOKS})"
+    punct = ("length(regexp_replace(text, '[^!-/:-@\\\\[-`{{-~]', '')) / "
+             "cast(greatest(length(text), 1) as double)")
+    mean_tok = f"length(trim(text)) / cast(greatest({n_toks}, 1) as double)"
+    stop_en = _stop_ratio("en")
+    return docs.select(
+        "doc_id",
+        F.expr(n_toks).cast("long").alias("n_tokens"),
+        F.round(F.expr(mean_tok), 6).alias("mean_token_len"),
+        F.round(F.expr(punct), 6).alias("punct_ratio"),
+        F.round(F.expr(stop_en), 6).alias("stop_ratio_en"),
+        F.round(
+            F.expr(f"least(1.0d, {n_toks} / 100.0d) * (1.0d - least(1.0d, {punct} * 4))"
+                   f" * least(1.0d, 0.2d + {stop_en} * 4)"), 6).alias("quality"))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, n_chars): whitespace count +
+    a BPE-ish regex count (letter runs / digit runs / single
+    punctuation, the GPT-2 pretokenizer shape)."""
+    bpe = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_TOKS})").cast("long").alias("ws_tokens"),
+        F.expr(bpe).cast("long").alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
+    """(doc_id, fp): winnowing-style fingerprint — md5 over the set of
+    per-window minima of token md5s (robust to local edits)."""
+    toks = _TOKS
+    mins = (f"transform(sequence(1, greatest(size({toks}) - {window - 1}, 1)), "
+            f"i -> array_min(transform(slice({toks}, i, {window}), t -> md5(t))))")
+    return docs.select(
+        "doc_id",
+        F.md5(F.expr(f"array_join(array_distinct({mins}), '|')")).alias("fp"))

@@ -1,0 +1,275 @@
+"""Training-data ops: dedup, similarity, textops, multimodal, lineage,
+streaming."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicates(spark, docs):
+    from osmquadtree_geometry_spark.dedup import exact_duplicates
+    d = exact_duplicates(docs).collect()
+    # oracle: pandas
+    pdf = docs.toPandas()
+    vc = pdf.groupby("text")["doc_id"].agg(["count", "min"])
+    exp = vc[vc["count"] > 1]
+    assert len(d) == len(exp)
+    for r in d:
+        assert r.n_dups > 1
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    from osmquadtree_geometry_spark.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4).collect()
+    # identical texts share ALL bands -> must appear with n_bands=4
+    pdf = docs.toPandas()
+    dup_groups = pdf.groupby("text")["doc_id"].apply(list)
+    exact_pairs = set()
+    for ids in dup_groups:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                exact_pairs.add((ids[i], ids[j]))
+    got = {(r.a, r.b): r.n_bands for r in pairs}
+    for p in exact_pairs:
+        assert got.get(p) == 4, f"exact dup pair {p} missed by LSH"
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    from osmquadtree_geometry_spark.dedup import minhash_signatures
+    s1 = minhash_signatures(docs.limit(20), n_hashes=4).collect()
+    s2 = minhash_signatures(docs.limit(20), n_hashes=4).collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2))
+
+
+def test_simhash_near_pairs(spark, docs):
+    from osmquadtree_geometry_spark.dedup import simhash, simhash_near_pairs
+    s = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert all(0 <= v < 2**32 for v in s.values())
+    pairs = simhash_near_pairs(docs, max_hamming=3).collect()
+    # identical texts -> hamming 0, must be found
+    pdf = docs.toPandas()
+    for _, grp in pdf.groupby("text"):
+        ids = sorted(grp["doc_id"])
+        if len(ids) > 1:
+            assert any((r.a, r.b) == (ids[0], ids[1]) and r.hamming == 0
+                       for r in pairs)
+    # verify hamming against fingerprints
+    for r in pairs[:20]:
+        assert bin(s[r.a] ^ s[r.b]).count("1") == r.hamming
+
+
+def test_ngram_jaccard(spark, docs):
+    from osmquadtree_geometry_spark.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    pdf = docs.toPandas()
+    dups = pdf[pdf.duplicated("text", keep=False)]
+    same_source_dups = 0
+    for _, grp in dups.groupby(["text", "source"]):
+        n = len(grp)
+        same_source_dups += n * (n - 1) // 2
+    assert len([p for p in pairs if p.jaccard == 1.0]) >= same_source_dups
+
+
+def test_embedding_near_dup(spark, emb):
+    from osmquadtree_geometry_spark.dedup import embedding_near_dup_pairs
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    for r in pairs[:10]:
+        assert 0.9 <= r.cosine <= 1.000001
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _queries(spark, emb, n=3):
+    rows = emb.orderBy("vec_id").limit(n).collect()
+    return spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in rows],
+        "query_id long, qe array<float>")
+
+
+def test_brute_force_topk(spark, emb):
+    from osmquadtree_geometry_spark.similarity import brute_force_topk
+    q = _queries(spark, emb)
+    got = brute_force_topk(emb, q, k=5)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.query_id for r in q.collect()}
+    # numpy oracle for one query
+    E = emb.orderBy("vec_id").toPandas()
+    mat = np.stack(E["embedding"].to_numpy())
+    ids = E["vec_id"].to_numpy()
+    qv = mat[0]
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(((round(c, 6), i) for c, i in zip(cos, ids) if i != ids[0]),
+                   key=lambda t: (-t[0], t[1]))
+    exp = [i for _, i in order[:5]]
+    got0 = [r.vec_id for r in sorted(by_q[ids[0]], key=lambda r: (-r.cosine, r.vec_id))]
+    assert got0 == exp
+
+
+def test_lsh_ann_recall(spark, emb):
+    from osmquadtree_geometry_spark.similarity import brute_force_topk, lsh_ann_topk
+    q = _queries(spark, emb, n=5)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    # testdata embeddings are near-random (top cosine ~0.3) — weak
+    # neighbours need shallow buckets + many tables for recall
+    approx = lsh_ann_topk(emb, q, k=5, n_planes=3, n_tables=8).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # approx pairs carry exact cosine scores
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert r.cosine == exact_scores[(r.query_id, r.vec_id)]
+
+
+# ---------------------------------------------------------------------------
+# textops
+# ---------------------------------------------------------------------------
+
+def test_language_id(spark, docs):
+    from osmquadtree_geometry_spark.textops import language_id
+    out = language_id(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    langs = {r.lang_pred for r in rows}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_quality_and_tokens(spark, docs):
+    from osmquadtree_geometry_spark.textops import quality_score, token_counts
+    q = quality_score(docs).collect()
+    for r in q[:20]:
+        assert 0.0 <= r.quality <= 1.0
+        assert r.n_tokens > 0
+    t = {r.doc_id: r for r in token_counts(docs).collect()}
+    pdf = docs.toPandas()
+    for _, row in pdf.head(20).iterrows():
+        assert t[row.doc_id].ws_tokens == len(row.text.split())
+        assert t[row.doc_id].n_chars == len(row.text)
+
+
+def test_fingerprint_stability(spark, docs):
+    from osmquadtree_geometry_spark.textops import fingerprint
+    f1 = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+    # identical texts -> identical fingerprints
+    pdf = docs.toPandas()
+    for _, grp in pdf.groupby("text"):
+        fps = {f1[d] for d in grp["doc_id"]}
+        assert len(fps) == 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features(spark, decoded):
+    from osmquadtree_geometry_spark.multimodal import (
+        decode_image, extract_features, synth_media_table)
+    mb = synth_media_table(decoded["media"])
+    out = extract_features(mb, dim=8, fake=True)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert len(r.features) == 8
+        assert r.n_bytes == 16  # md5 payload
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+    # determinism: same payload -> same features
+    again = {(r.doc_id, r.media_ref): r.features for r in out.collect()}
+    for r in rows:
+        assert again[(r.doc_id, r.media_ref)] == r.features
+
+
+# ---------------------------------------------------------------------------
+# lineage / resume
+# ---------------------------------------------------------------------------
+
+def test_lineage_resume(spark, tmp_path, docs_path):
+    from osmquadtree_geometry_spark.lineage import (
+        LineageStore, fingerprint_input, run_stage)
+    store = LineageStore(spark, str(tmp_path / "lineage"))
+    fp = fingerprint_input(docs_path)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.read.parquet(docs_path).select("doc_id")
+
+    out1, resumed1 = run_stage(store, "decode", fp, build)
+    assert not resumed1 and len(calls) == 1
+    n1 = out1.count()
+    out2, resumed2 = run_stage(store, "decode", fp, build)
+    assert resumed2 and len(calls) == 1  # build NOT re-invoked
+    assert out2.count() == n1
+    # lineage rows recorded per partition
+    lin = store.read("decode")
+    assert lin is not None
+    assert lin.agg(F.sum("rows")).first()[0] == n1
+    # different fingerprint -> recompute
+    out3, resumed3 = run_stage(store, "decode", "otherfp", build)
+    assert not resumed3 and len(calls) == 2
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+def test_streaming_decode_and_tiles(spark, docs_path, decoded):
+    import os
+    from osmquadtree_geometry_spark.streaming import (
+        run_stream_to_memory, stream_decode_nodes, stream_docs,
+        streaming_tile_counts)
+    st = stream_docs(spark, os.path.dirname(docs_path))
+    nodes = stream_decode_nodes(st)
+    agg = streaming_tile_counts(nodes, tile_depth=8)
+    q = run_stream_to_memory(agg, "tile_counts", mode="complete")
+    try:
+        got = {r.tile: r.n_nodes for r in spark.sql(
+            "SELECT * FROM tile_counts").collect()}
+    finally:
+        q.stop()
+    # batch oracle
+    from osmquadtree_geometry_spark.kernels.quadtree import sql_round_qt
+    exp = {r.tile: r.n for r in decoded["nodes"]
+           .withColumn("tile", F.expr(sql_round_qt("quadtree", "8")))
+           .groupBy("tile").agg(F.count("*").alias("n")).collect()}
+    assert got == exp
+
+
+def test_streaming_events_rollup(spark):
+    from osmquadtree_geometry_spark.streaming import (
+        run_stream_to_memory, streaming_events_rollup)
+    agg = streaming_events_rollup(spark, f"{SF}/events.parquet")
+    q = run_stream_to_memory(agg, "ev_rollup", mode="append")
+    try:
+        rows = spark.sql("SELECT * FROM ev_rollup").collect()
+    finally:
+        q.stop()
+    # append mode with watermark may withhold the tail window; just
+    # check the plumbing produced consistent aggregates
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert ev.count() > 0
+    assert all(r.n > 0 for r in rows)
