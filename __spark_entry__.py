@@ -197,6 +197,142 @@ def q_tile_assignment(spark, sf_dir):
 
 # -- TPC-H-ish / training-data queries over the driver's tables -------------
 
+def q_pip_join(spark, sf_dir):
+    from osmquadtree_geometry_spark.spatial.joins import point_in_polygon_join
+    res = _pipeline(spark, sf_dir)
+    return point_in_polygon_join(res.points, res.simple_polygons, cell_depth=10)
+
+
+def q_knn_join(spark, sf_dir):
+    from osmquadtree_geometry_spark.spatial.joins import knn_join
+    res = _pipeline(spark, sf_dir)
+    return (knn_join(res.points, res.points, k=3, cell_depth=8, max_rings=2)
+            .select("query_id", "target_id", F.round("dist", 2).alias("dist")))
+
+
+def q_raster_vector(spark, sf_dir):
+    from osmquadtree_geometry_spark.spatial.joins import raster_vector_join
+    res = _pipeline(spark, sf_dir)
+    return raster_vector_join(res.decoded["media"], res.points)
+
+
+def q_clip_lines(spark, sf_dir):
+    from osmquadtree_geometry_spark.spatial.joins import clip_lines_to_tiles
+    res = _pipeline(spark, sf_dir)
+    return (clip_lines_to_tiles(res.linestrings, tile_depth=12)
+            .select("id", "cell", "part",
+                    F.size("lonlats").cast("long").alias("n_points")))
+
+
+def q_geojson_points(spark, sf_dir):
+    from osmquadtree_geometry_spark.sinks import geojson_features
+    res = _pipeline(spark, sf_dir)
+    return geojson_features(res.points, "point")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from osmquadtree_geometry_spark.dedup import minhash_signatures
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return (minhash_signatures(d, n_hashes=8)
+            .select("doc_id", F.array_join("sig", "|").alias("sig")))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from osmquadtree_geometry_spark.dedup import minhash_lsh_pairs
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return minhash_lsh_pairs(d, n_hashes=8, bands=4)
+
+
+def q_simhash(spark, sf_dir):
+    from osmquadtree_geometry_spark.dedup import simhash
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return simhash(d)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from osmquadtree_geometry_spark.dedup import simhash_near_pairs
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return simhash_near_pairs(d, max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from osmquadtree_geometry_spark.dedup import ngram_jaccard_pairs
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return ngram_jaccard_pairs(d, threshold=0.8)
+
+
+def q_language_id(spark, sf_dir):
+    from osmquadtree_geometry_spark.textops import language_id
+    return language_id(spark.read.parquet(_sf(sf_dir, "documents")))
+
+
+def q_token_counts(spark, sf_dir):
+    from osmquadtree_geometry_spark.textops import token_counts
+    return token_counts(spark.read.parquet(_sf(sf_dir, "documents")))
+
+
+def q_quality_score(spark, sf_dir):
+    from osmquadtree_geometry_spark.textops import quality_score
+    return quality_score(spark.read.parquet(_sf(sf_dir, "documents")))
+
+
+def q_fingerprint(spark, sf_dir):
+    from osmquadtree_geometry_spark.textops import fingerprint
+    return fingerprint(spark.read.parquet(_sf(sf_dir, "documents")))
+
+
+def q_embedding_topk(spark, sf_dir):
+    from osmquadtree_geometry_spark.similarity import brute_force_topk
+    emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
+    q = (emb.orderBy("vec_id").limit(5)
+         .selectExpr("vec_id as query_id", "embedding as qe"))
+    return brute_force_topk(emb, q, k=10)
+
+
+def q_lsh_ann(spark, sf_dir):
+    from osmquadtree_geometry_spark.similarity import lsh_ann_topk
+    emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
+    q = (emb.orderBy("vec_id").limit(5)
+         .selectExpr("vec_id as query_id", "embedding as qe"))
+    return lsh_ann_topk(emb, q, k=10, n_planes=3, n_tables=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from osmquadtree_geometry_spark.multimodal import (
+        extract_features, synth_media_table)
+    media = _decoded(spark, sf_dir)["media"]
+    out = extract_features(synth_media_table(media), dim=8, fake=True)
+    return out.select("doc_id", "media_ref", "n_bytes",
+                      F.round(F.expr(
+                          "aggregate(features, 0.0d, (a, v) -> a + cast(v as double))"),
+                          4).alias("feat_sum"))
+
+
+def q_events_rollup(spark, sf_dir):
+    ev = spark.read.parquet(_sf(sf_dir, "events"))
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window as W
+    ev = spark.read.parquet(_sf(sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.expr("case when prev_ts is null then 1 "
+               "when ts - prev_ts > interval 30 minute then 1 else 0 end"))
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
 def q_lineitem_agg(spark, sf_dir):
     li = spark.read.parquet(_sf(sf_dir, "lineitem"))
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
@@ -251,6 +387,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": q_top_customers,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
+    "pip_join": q_pip_join,
+    "knn_join": q_knn_join,
+    "raster_vector": q_raster_vector,
+    "clip_lines": q_clip_lines,
+    "geojson_points": q_geojson_points,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "language_id": q_language_id,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "lsh_ann": q_lsh_ann,
+    "multimodal_features": q_multimodal_features,
+    "events_rollup": q_events_rollup,
+    "sessionize": q_sessionize,
 }
 
 
@@ -296,4 +451,20 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                    length(text) AS n_chars
             FROM documents""",
+        # pip_join / knn_join / raster_vector / clip_lines /
+        # geojson_points / minhash_lsh_pairs / simhash_pairs /
+        # ngram_jaccard / lsh_ann / multimodal_features / quality_score:
+        # rows-only (geometric predicates & LSH candidate sets are
+        # verified by kernel unit tests + brute-force oracles in
+        # tests/)
+        "minhash_signatures": oracles.q_minhash_signatures(n_hashes=8),
+        "simhash": oracles.q_simhash(),
+        "language_id": oracles.q_language_id(
+            __import__("osmquadtree_geometry_spark.textops",
+                       fromlist=["STOPWORDS"]).STOPWORDS),
+        "token_counts": oracles.q_token_counts(),
+        "fingerprint": oracles.q_fingerprint(),
+        "embedding_topk": oracles.q_embedding_topk(k=10, n_queries=5),
+        "events_rollup": oracles.q_events_rollup(),
+        "sessionize": oracles.q_sessionize(gap_minutes=30),
     }

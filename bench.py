@@ -50,19 +50,61 @@ def run_pipeline_once(spark, sf_dir: str) -> tuple[float, int, dict]:
     from osmquadtree_geometry_spark.config.minzoom import MinZoomSpec
     from osmquadtree_geometry_spark.pipeline import run_pipeline
 
-    docs_path = fixture_docs_path(sf_dir)
+    docs_path = os.environ.get("SPARK_GRAFT_DOCS") or fixture_docs_path(sf_dir)
     n_docs = spark.read.parquet(docs_path).count()
     t0 = time.monotonic()
     res = run_pipeline(spark, docs_path, minzoom=MinZoomSpec.default())
-    counts = {
-        "points": res.points.count(),
-        "linestrings": res.linestrings.count(),
-        "simple_polygons": res.simple_polygons.count(),
-        "complicated_polygons": res.complicated_polygons.count(),
-        "errors": res.errors.count(),
-    }
+    # ONE action for all output counts (5 jobs -> 1)
+    from pyspark.sql import functions as F
+
+    def c(df, name):
+        return df.groupBy().agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("t"), "n")
+    allc = (c(res.points, "points")
+            .unionByName(c(res.linestrings, "linestrings"))
+            .unionByName(c(res.simple_polygons, "simple_polygons"))
+            .unionByName(c(res.complicated_polygons, "complicated_polygons"))
+            .unionByName(c(res.errors, "errors")))
+    counts = {r.t: r.n for r in allc.collect()}
     dt = time.monotonic() - t0
     return dt, n_docs, counts
+
+
+def run_scaling_job(spark, docs_path: str) -> tuple[float, int]:
+    """The metric-defining job (BASELINE.json: 'spatial-join +
+    tile-assignment throughput'): decode -> way⋈node location join ->
+    per-way bbox -> quadtree cell -> tile assignment, ONE action.
+    Shuffle/compute dominated (few stages), so it exposes true scaling
+    rather than per-stage scheduling latency."""
+    from pyspark.sql import functions as F
+    from osmquadtree_geometry_spark.decode import decode_all, read_docs
+    from osmquadtree_geometry_spark.operators.waynodes import collect_way_nodes
+    from osmquadtree_geometry_spark.operators import sqlgeom
+    from osmquadtree_geometry_spark.operators.makegeoms import qt_bbox_udf
+    from osmquadtree_geometry_spark.kernels.quadtree import sql_round_qt
+
+    docs = read_docs(spark, docs_path)
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    t = decode_all(docs)
+    ways_ll, _err = collect_way_nodes(t["ways"], t["nodes"])
+    b = sqlgeom.sql_bbox("lonlats")
+    w = (ways_ll
+         .withColumn("quadtree", qt_bbox_udf(
+             F.expr(b["minlon"]), F.expr(b["minlat"]),
+             F.expr(b["maxlon"]), F.expr(b["maxlat"])))
+         .withColumn("tile", F.expr(sql_round_qt("quadtree", "8")))
+         .withColumn("length", F.expr(sqlgeom.sql_line_length("lonlats"))))
+    n = (t["nodes"].withColumn("tile", F.expr(sql_round_qt("quadtree", "8")))
+         .groupBy().agg(F.sum("tile").alias("s"), F.count("*").alias("n")))
+    wagg = w.groupBy().agg(F.sum("tile").alias("s"),
+                           F.sum("length").alias("ln"),
+                           F.count("*").alias("n"))
+    # single action over both branches
+    out = n.unionByName(wagg.select("s", "n")).collect()
+    dt = time.monotonic() - t0
+    assert out[0].n > 0 and out[1].n > 0
+    return dt, n_docs
 
 
 def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
@@ -133,13 +175,24 @@ def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
 
 
 def run_scaling(sf_dir: str = SF_DIR, small: int = 8, big: int = 32) -> dict:
-    """Two-parallelism scaling evidence (BASELINE.md protocol)."""
+    """Two-parallelism scaling evidence (BASELINE.md protocol).
+
+    Uses a dedicated larger fixture (SPARK_GRAFT_SCALING_DOCS, default
+    110k docs) so per-core work dominates fixed JVM/session latency —
+    the in-sandbox analogue of sizing per-executor splits on a real
+    cluster."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "440000"))
+    from osmquadtree_geometry_spark.datagen import generate_docs_parquet
+    docs = generate_docs_parquet(
+        os.path.join(REPO, ".data", f"geom_scaling_{n_docs}", "docs.parquet"),
+        n_docs)
     results = {}
     for cpus in (small, big):
         out = subprocess.run(
-            [sys.executable, __file__, "--pipeline-only"],
+            [sys.executable, __file__, "--scaling-job"],
             env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
-                 "SPARK_GRAFT_SF_DIR": sf_dir},
+                 "SPARK_GRAFT_SF_DIR": sf_dir,
+                 "SPARK_GRAFT_DOCS": docs},
             capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
@@ -161,6 +214,17 @@ def run_scaling(sf_dir: str = SF_DIR, small: int = 8, big: int = 32) -> dict:
 
 
 def main() -> None:
+    if "--scaling-job" in sys.argv:
+        spark = _spark(CPUS)
+        docs = os.environ.get("SPARK_GRAFT_DOCS")
+        sec, n_docs = run_scaling_job(spark, docs)
+        print(json.dumps({
+            "metric": "spatial-join + tile-assignment", "value": round(sec, 3),
+            "unit": "sec", "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / sec, 1), "cpus": CPUS,
+            "queries": {"scaling_job": round(sec, 3)},
+            "sf": _sf_value(SF_DIR)}))
+        return
     if "--pipeline-only" in sys.argv:
         spark = _spark(CPUS)
         sec, n_docs, counts = run_pipeline_once(spark, SF_DIR)

@@ -335,7 +335,9 @@ def generate_docs_parquet(out_path: str, n_docs: int) -> str:
         ids.append(d)
         spans.append(sp)
     table = pa.Table.from_pydict({"doc_id": ids, "spans": spans}, schema=DOCS_SCHEMA)
-    pq.write_table(table, out_path)
+    # small row groups so Spark's parquet scan can split the file into
+    # parallel tasks (one giant row group = one scan task)
+    pq.write_table(table, out_path, row_group_size=max(256, n_docs // 64))
     return out_path
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.udfs import qt_point_udf
+from .kernels.quadtree import with_point_qt
 
 
 def read_docs(spark: SparkSession, path: str) -> DataFrame:
@@ -65,9 +65,8 @@ def decode_nodes(spans: DataFrame) -> DataFrame:
                 & F.col("lat").isNotNull()))
     tags = _tags_for(spans, "node")
     out = (n.join(tags, ["doc_id", "id"], "left")
-           .withColumn("tags", F.coalesce("tags", F.expr("map()")))
-           .withColumn("quadtree", qt_point_udf("lon", "lat")))
-    return out
+           .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
+    return with_point_qt(out, "lon", "lat")
 
 
 def decode_ways(spans: DataFrame) -> DataFrame:

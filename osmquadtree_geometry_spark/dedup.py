@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_RE = r"\s+"
+# NB: this string is spliced into SQL text — Spark SQL unescapes
+# string literals, so the regex needs a double backslash to survive
+# ('\s+' would parse as 's+' and split on the letter s)
+TOKEN_RE = r"\\s+"
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -270,3 +270,45 @@ def sql_round_qt(qt_col: str, depth_col: str) -> str:
 
 def sql_qt_depth(qt_col: str) -> str:
     return f"(case when cast({qt_col} as bigint) < 0 then 0 else cast({qt_col} as bigint) % 32 end)"
+
+
+# ---------------------------------------------------------------------------
+# staged DataFrame builder — JVM-side point-cell encode without the
+# codegen blowup: each intermediate is its own column, and Catalyst's
+# CollapseProject keeps non-cheap aliases un-inlined, so the generated
+# method stays small.  Exactly equivalent to ``calculate_point``
+# (validated in tests against the numpy kernel).
+# ---------------------------------------------------------------------------
+
+def _sql_spread_bits(col: str) -> str:
+    """Spread an 18-bit int so its bits occupy even positions
+    (classic morton bit-twiddle, 64-bit masks)."""
+    c = f"cast({col} as bigint)"
+    c = f"(({c} | shiftleft({c}, 16)) & 281470681808895)"     # 0x0000FFFF0000FFFF
+    c = f"(({c} | shiftleft({c}, 8)) & 71777214294589695)"    # 0x00FF00FF00FF00FF
+    c = f"(({c} | shiftleft({c}, 4)) & 1085102592571150095)"  # 0x0F0F0F0F0F0F0F0F
+    c = f"(({c} | shiftleft({c}, 2)) & 3689348814741910323)"  # 0x3333333333333333
+    c = f"(({c} | shiftleft({c}, 1)) & 6148914691236517205)"  # 0x5555555555555555
+    return c
+
+
+def with_point_qt(df, lon_col: str, lat_col: str, out_col: str = "quadtree",
+                  max_depth: int = MAX_DEPTH):
+    """Add ``out_col`` = calculate_point(lon, lat, max_depth) as pure
+    staged Spark SQL (whole-stage-codegen'd, no Python workers)."""
+    from pyspark.sql import functions as F
+    n = 1 << max_depth
+    x = f"(({lon_col}) * 1e-7 + 180.0) / 360.0"
+    latc = f"least(greatest(({lat_col}) * 1e-7, -85.051128779806), 85.051128779806)"
+    y = f"(1.0 - ln(tan(pi()/4.0 + radians({latc})/2.0)) / pi()) / 2.0"
+    tx = f"least(cast(floor(least(greatest({x}, 0.0), 1.0 - 1e-15) * {n}) as bigint), {n - 1})"
+    ty = f"least(cast(floor(least(greatest({y}, 0.0), 1.0 - 1e-15) * {n}) as bigint), {n - 1})"
+    shift = 2 * (MAX_DEPTH - max_depth)
+    out = (df.withColumn("__qt_tx", F.expr(tx))
+             .withColumn("__qt_ty", F.expr(ty))
+             .withColumn("__qt_sx", F.expr(_sql_spread_bits("__qt_tx")))
+             .withColumn("__qt_sy", F.expr(_sql_spread_bits("__qt_ty")))
+             .withColumn(out_col, F.expr(
+                 f"(shiftleft((shiftleft(__qt_sx, 1) | __qt_sy), {shift})"
+                 f" * 32) + {max_depth}")))
+    return out.drop("__qt_tx", "__qt_ty", "__qt_sx", "__qt_sy")

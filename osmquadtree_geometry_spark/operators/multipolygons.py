@@ -48,38 +48,28 @@ ASSEMBLED_SCHEMA = (
 )
 
 
-def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One relation per group: rows carry packed member arrays from the
-    salted partial agg."""
-    rel_id = int(pdf["id"].iloc[0])
-    doc_id = pdf["doc_id"].iloc[0]
-    tags = pdf["ftags"].iloc[0]
-    layer = pdf["layer"].iloc[0]
+def _assemble_one(doc_id, rel_id, tags, layer, members) -> dict:
+    """Assemble a single relation (pure python/numpy, no pandas)."""
     base = {
-        "doc_id": doc_id, "id": rel_id, "tags": tags, "parts": None,
+        "doc_id": doc_id, "id": int(rel_id), "tags": tags, "parts": None,
         "area": None, "z_order": None,
         "layer": None if layer is None or (isinstance(layer, float) and np.isnan(layer)) else int(layer),
         "minzoom": None, "quadtree": None, "wkb": None, "error": None,
     }
-
     outer: list[ringk.RingPart] = []
     inner: list[ringk.RingPart] = []
-    members = []
-    for mm in pdf["members"]:
-        members.extend(mm)
-    # deterministic member order: original member position
-    members.sort(key=lambda m: m["pos"])
-    for m in members:
-        lon = np.asarray([p["lon"] for p in m["lonlats"]], np.int64)
-        lat = np.asarray([p["lat"] for p in m["lonlats"]], np.int64)
-        part = ringk.RingPart(int(m["way_id"]), False, [int(r) for r in m["refs"]], lon, lat)
+    for m in sorted(members, key=lambda m: m["pos"]):
+        lon = np.fromiter((p["lon"] for p in m["lonlats"]), np.int64)
+        lat = np.fromiter((p["lat"] for p in m["lonlats"]), np.int64)
+        part = ringk.RingPart(int(m["way_id"]), False,
+                              [int(r) for r in m["refs"]], lon, lat)
         (inner if m["role"] == "inner" else outer).append(part)
 
     try:
         polys = ringk.make_polygon_parts(outer, inner)
     except ringk.AssemblyError as e:
         base["error"] = str(e)
-        return pd.DataFrame([base])
+        return base
 
     parts_out = []
     area = 0.0
@@ -104,15 +94,28 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
     q = qtk.calculate_bbox(np.asarray([blon0]), np.asarray([blat0]),
                            np.asarray([blon1]), np.asarray([blat1]))[0]
-    wkb_parts = []
-    for p in polys:
-        rr = [p.exterior.lonlats()] + [i.lonlats() for i in p.interiors]
-        wkb_parts.append(rr)
+    wkb_parts = [[p.exterior.lonlats()] + [i.lonlats() for i in p.interiors]
+                 for p in polys]
     base.update({
         "parts": parts_out, "area": float(area), "quadtree": int(q),
         "wkb": wkbk.multipolygon_wkb(wkb_parts, transform=True, with_srid=True),
     })
-    return pd.DataFrame([base])
+    return base
+
+
+def _assemble_batch(batches):
+    """mapInPandas kernel: each Arrow batch carries MANY fully-packed
+    relations (one row each) — per-relation overhead is a python dict,
+    not a pandas group."""
+    for pdf in batches:
+        rows = [
+            _assemble_one(r.doc_id, r.id, r.ftags, r.layer, r.members)
+            for r in pdf.itertuples()
+        ]
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "id", "tags", "parts", "area",
+                           "z_order", "layer", "minzoom", "quadtree",
+                           "wkb", "error"])
 
 
 def process_multipolygons(relations: DataFrame, ways_ll: DataFrame,
@@ -157,8 +160,14 @@ def process_multipolygons(relations: DataFrame, ways_ll: DataFrame,
                    F.collect_list(F.struct("pos", "way_id", "role", "refs",
                                            "lonlats")).alias("members")))
 
-    assembled = (salted.groupBy("doc_id", "id")
-                 .applyInPandas(_assemble_group, ASSEMBLED_SCHEMA))
+    # phase 3: pack each relation into ONE row, then assemble whole
+    # Arrow batches of relations (mapInPandas — per-relation cost is a
+    # python dict, not a per-group pandas DataFrame)
+    packed = (salted.groupBy("doc_id", "id")
+              .agg(F.first("ftags").alias("ftags"),
+                   F.first("layer").alias("layer"),
+                   F.flatten(F.collect_list("members")).alias("members")))
+    assembled = packed.mapInPandas(_assemble_batch, ASSEMBLED_SCHEMA)
 
     # relations whose members ALL vanished never reach the kernel:
     # left-anti against assembled -> "no ring parts"

@@ -255,3 +255,114 @@ fz AS (SELECT nd.id AS id, {zoom} AS mz, {qt} AS q0
 SELECT id, mz AS minzoom,
        CASE WHEN mz IS NULL THEN q0 ELSE {rqt} END AS quadtree
 FROM fz"""
+
+
+# ---------------------------------------------------------------------------
+# training-data op oracles (pre-registered views: documents, embeddings,
+# events) — duckdb list-lambda re-derivations of dedup.py / textops.py
+# ---------------------------------------------------------------------------
+
+_TOKS_DD = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _shingles_dd(n: int) -> str:
+    t = _TOKS_DD
+    return (f"(CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')] "
+            f"ELSE list_transform(generate_series(1, len({t}) - {n - 1}), "
+            f"i -> array_to_string(({t})[i:i+{n - 1}], ' ')) END)")
+
+
+def q_minhash_signatures(n_hashes: int = 8, shingle: int = 3) -> str:
+    sh = _shingles_dd(shingle)
+    comps = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5(s || '#' || {i})))"
+        for i in range(n_hashes))
+    return (f"SELECT doc_id, array_to_string([{comps}], '|') AS sig "
+            f"FROM documents")
+
+
+def q_simhash(bits: int = 32, shingle: int = 2) -> str:
+    sh = _shingles_dd(shingle)
+    hv = "('0x' || substring(md5(s), 1, 8))::bigint"
+    bit_sums = ", ".join(
+        f"list_sum(list_transform({sh}, s -> CASE WHEN ({hv} // {1 << j}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END))" for j in range(bits))
+    combine = " + ".join(
+        f"(CASE WHEN bs[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)::bigint"
+        for j in range(bits))
+    return (f"SELECT doc_id, ({combine}) AS simhash FROM "
+            f"(SELECT doc_id, [{bit_sums}] AS bs FROM documents)")
+
+
+def q_language_id(stopwords: dict[str, list[str]]) -> str:
+    t = _TOKS_DD
+    ratios = []
+    for lg, words in stopwords.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        ratios.append(
+            f"len(list_filter(list_transform({t}, x -> lower(x)), "
+            f"t -> t IN ({lst}))) / greatest(len({t}), 1)::double AS r_{lg}")
+    langs = list(stopwords)
+    structs = ", ".join(f"{{'score': r_{lg}, 'lang': '{lg}'}}" for lg in langs)
+    return f"""
+WITH sc AS (SELECT doc_id, {', '.join(ratios)} FROM documents),
+best AS (SELECT doc_id, list_sort([{structs}],
+         'DESC')[1] AS b FROM sc)
+SELECT doc_id,
+       CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+       round(b.score, 6) AS lang_score
+FROM best"""
+
+
+def q_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       len({_TOKS_DD})::bigint AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::bigint
+         AS bpe_ish_tokens,
+       length(text)::bigint AS n_chars
+FROM documents"""
+
+
+def q_fingerprint(window: int = 8) -> str:
+    t = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    mins = (f"list_transform(generate_series(1, greatest(len({t}) - {window - 1}, 1)), "
+            f"i -> list_min(list_transform(({t})[i:i+{window - 1}], x -> md5(x))))")
+    return (f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({mins})), '|')) "
+            f"AS fp FROM documents")
+
+
+def q_embedding_topk(k: int = 10, n_queries: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}"""
+
+
+def q_events_rollup() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_sessionize(gap_minutes: int = 30) -> str:
+    return f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (SELECT user_id, ts,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM gaps)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id"""

@@ -54,6 +54,9 @@ def run_pipeline(spark: SparkSession, docs_path: str,
     style = style or GeometryStyle()
     docs = read_docs(spark, docs_path)
     t = decode_all(docs)
+    if persist:
+        # one parse of the span stream feeds 8+ downstream groupBys
+        t["spans"] = t["spans"].persist()
     nodes, ways, relations = t["nodes"], t["ways"], t["relations"]
     if persist:
         # the decoded tables feed several downstream branches (points +

@@ -86,4 +86,5 @@ def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
             f"i -> array_min(transform(slice({toks}, i, {window}), t -> md5(t))))")
     return docs.select(
         "doc_id",
-        F.md5(F.expr(f"array_join(array_distinct({mins}), '|')")).alias("fp"))
+        F.md5(F.expr(f"array_join(array_sort(array_distinct({mins})), '|')"))
+        .alias("fp"))

@@ -75,6 +75,8 @@ ORACLE_QUERIES = [
     "node_quadtree", "line_length", "simple_polygon_area",
     "relation_tags", "parent_tags", "minzoom_points",
     "lineitem_agg", "top_customers", "dedup_exact", "token_stats",
+    "minhash_signatures", "simhash", "language_id", "token_counts",
+    "fingerprint", "embedding_topk", "events_rollup", "sessionize",
 ]
 
 
@@ -90,7 +92,12 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
                                   check_exact=False, rtol=1e-9, atol=1e-9)
 
 
-ROWS_ONLY_QUERIES = ["multipolygons", "assembly_errors", "tile_assignment"]
+ROWS_ONLY_QUERIES = [
+    "multipolygons", "assembly_errors", "tile_assignment",
+    "pip_join", "knn_join", "raster_vector", "clip_lines",
+    "geojson_points", "minhash_lsh_pairs", "simhash_pairs",
+    "ngram_jaccard", "quality_score", "lsh_ann", "multimodal_features",
+]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
