@@ -333,6 +333,23 @@ def q_sessionize(spark, sf_dir):
                  F.max("ts").alias("session_end")))
 
 
+def q_lowzoom_lines(spark, sf_dir):
+    """T5 lowzoom derived table: minzoom filter + topology-guarded
+    simplify at z8 resolution (reference ST_SIMPLIFY path)."""
+    from osmquadtree_geometry_spark.operators.validity import lowzoom_table
+    res = _pipeline(spark, sf_dir)
+    return (lowzoom_table(res.linestrings, zoom=8)
+            .select("id", "minzoom", "n_points_before", "n_points_after"))
+
+
+def q_polygon_validity(spark, sf_dir):
+    from osmquadtree_geometry_spark.operators.validity import (
+        with_point_on_surface, with_validity)
+    res = _pipeline(spark, sf_dir)
+    v = with_point_on_surface(with_validity(res.simple_polygons))
+    return v.select("id", "is_valid", "pos_lon", "pos_lat")
+
+
 def q_lineitem_agg(spark, sf_dir):
     li = spark.read.parquet(_sf(sf_dir, "lineitem"))
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
@@ -406,6 +423,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
+    "lowzoom_lines": q_lowzoom_lines,
+    "polygon_validity": q_polygon_validity,
 }
 
 

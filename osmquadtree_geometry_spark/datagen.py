@@ -329,15 +329,21 @@ def generate_docs_parquet(out_path: str, n_docs: int) -> str:
         except Exception:
             pass
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    ids, spans = [], []
-    for i in range(n_docs):
-        d, sp = build_doc(i)
-        ids.append(d)
-        spans.append(sp)
-    table = pa.Table.from_pydict({"doc_id": ids, "spans": spans}, schema=DOCS_SCHEMA)
-    # small row groups so Spark's parquet scan can split the file into
-    # parallel tasks (one giant row group = one scan task)
-    pq.write_table(table, out_path, row_group_size=max(256, n_docs // 64))
+    # chunked writer: constant memory at any n_docs; small row groups
+    # so Spark's parquet scan can split the file into parallel tasks
+    chunk = min(max(256, n_docs // 64), 50000)
+    writer = pq.ParquetWriter(out_path, DOCS_SCHEMA)
+    try:
+        for start in range(0, n_docs, chunk):
+            ids, spans = [], []
+            for i in range(start, min(start + chunk, n_docs)):
+                d, sp = build_doc(i)
+                ids.append(d)
+                spans.append(sp)
+            writer.write_table(pa.Table.from_pydict(
+                {"doc_id": ids, "spans": spans}, schema=DOCS_SCHEMA))
+    finally:
+        writer.close()
     return out_path
 
 

@@ -312,3 +312,20 @@ def with_point_qt(df, lon_col: str, lat_col: str, out_col: str = "quadtree",
                  f"(shiftleft((shiftleft(__qt_sx, 1) | __qt_sy), {shift})"
                  f" * 32) + {max_depth}")))
     return out.drop("__qt_tx", "__qt_ty", "__qt_sx", "__qt_sy")
+
+
+def with_bbox_qt(df, minlon: str, minlat: str, maxlon: str, maxlat: str,
+                 out_col: str = "quadtree", max_depth: int = MAX_DEPTH):
+    """Add ``out_col`` = calculate_bbox(...) as staged Spark SQL: point
+    cells of both corners, then their common ancestor via XOR of the
+    aligned mortons (depth = 17 - floor(log2(xor))/2).  100% JVM — no
+    Python workers in the tile-assignment hot path."""
+    from pyspark.sql import functions as F
+    out = with_point_qt(df, minlon, minlat, "__qt_a", max_depth)
+    out = with_point_qt(out, maxlon, maxlat, "__qt_b", max_depth)
+    xor = "shiftright(__qt_a, 5) ^ shiftright(__qt_b, 5)"
+    d = (f"(case when ({xor}) = 0 then cast({max_depth} as bigint) "
+         f"else cast(17 - floor(floor(log2(cast(({xor}) as double))) / 2) as bigint) end)")
+    out = out.withColumn("__qt_d", F.expr(d))
+    out = out.withColumn(out_col, F.expr(sql_round_qt("__qt_a", "__qt_d")))
+    return out.drop("__qt_a", "__qt_b", "__qt_d")

@@ -154,8 +154,9 @@ def process_multipolygons(relations: DataFrame, ways_ll: DataFrame,
     # phase 2: salted partial aggregation bounds shuffle-row width for
     # mega-relations before the final per-relation group
     salted = (jm.withColumn("salt", F.pmod(F.col("way_id"), F.lit(N_SALT)))
-              .groupBy("doc_id", "id", "salt")
-              .agg(F.first("ftags").alias("ftags"),
+              .groupBy("id", "salt")
+              .agg(F.first("doc_id").alias("doc_id"),
+                   F.first("ftags").alias("ftags"),
                    F.first("layer").alias("layer"),
                    F.collect_list(F.struct("pos", "way_id", "role", "refs",
                                            "lonlats")).alias("members")))
@@ -163,8 +164,9 @@ def process_multipolygons(relations: DataFrame, ways_ll: DataFrame,
     # phase 3: pack each relation into ONE row, then assemble whole
     # Arrow batches of relations (mapInPandas — per-relation cost is a
     # python dict, not a per-group pandas DataFrame)
-    packed = (salted.groupBy("doc_id", "id")
-              .agg(F.first("ftags").alias("ftags"),
+    packed = (salted.groupBy("id")
+              .agg(F.first("doc_id").alias("doc_id"),
+                   F.first("ftags").alias("ftags"),
                    F.first("layer").alias("layer"),
                    F.flatten(F.collect_list("members")).alias("members")))
     assembled = packed.mapInPandas(_assemble_batch, ASSEMBLED_SCHEMA)

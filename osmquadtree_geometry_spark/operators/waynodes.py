@@ -29,16 +29,15 @@ def collect_way_nodes(ways: DataFrame, nodes: DataFrame) -> tuple[DataFrame, Dat
     errors:  elem_type='way', elem_id, message 'missing node {ref}'
              (first missing ref in order, as the reference reports).
     """
-    refs = ways.select("doc_id", "id", F.posexplode("refs").alias("pos", "ref"))
+    refs = ways.select("id", F.posexplode("refs").alias("pos", "ref"))
     locs = nodes.select(F.col("id").alias("ref"), "lon", "lat")
     j = refs.join(locs, "ref", "left")
-    grouped = (j.groupBy("doc_id", "id")
+    grouped = (j.groupBy("id")
                .agg(F.expr("transform(array_sort(collect_list(struct(pos, lon, lat))),"
                            " p -> struct(p.lon as lon, p.lat as lat))").alias("lonlats"),
                     F.min(F.when(F.col("lon").isNull(),
                                  F.struct("pos", "ref"))).alias("first_missing")))
-    enriched = grouped.join(ways.select("doc_id", "id", "refs", "tags"),
-                            ["doc_id", "id"])
+    enriched = grouped.join(ways.select("doc_id", "id", "refs", "tags"), ["id"])
     ok = enriched.where(F.col("first_missing").isNull()).drop("first_missing")
     errors = (enriched.where(F.col("first_missing").isNotNull())
               .select(F.lit("way").alias("elem_type"),

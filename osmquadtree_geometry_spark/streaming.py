@@ -35,15 +35,16 @@ def stream_decode_nodes(docs_stream: DataFrame) -> DataFrame:
     """Streaming stage-0: spans -> nodes (stateless, no shuffle).
     Tag enrichment needs a groupBy and belongs to the batch layer;
     the streaming path emits location/tagless candidates."""
+    from .decode import _field
     spans = explode_spans(docs_stream)
     n = (spans.where(F.col("kind") == "node")
          .select("doc_id",
-                 F.col("m")["id"].cast("long").alias("id"),
-                 F.col("m")["lon"].cast("int").alias("lon"),
-                 F.col("m")["lat"].cast("int").alias("lat"))
+                 F.expr(_field(1)).cast("long").alias("id"),
+                 F.expr(_field(2)).cast("int").alias("lon"),
+                 F.expr(_field(3)).cast("int").alias("lat"))
          .where(F.col("id").isNotNull()))
-    from .operators.udfs import qt_point_udf
-    return n.withColumn("quadtree", qt_point_udf("lon", "lat"))
+    from .kernels.quadtree import with_point_qt
+    return with_point_qt(n, "lon", "lat")
 
 
 def streaming_tile_counts(node_stream: DataFrame, tile_depth: int = 8,

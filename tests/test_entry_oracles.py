@@ -97,6 +97,7 @@ ROWS_ONLY_QUERIES = [
     "pip_join", "knn_join", "raster_vector", "clip_lines",
     "geojson_points", "minhash_lsh_pairs", "simhash_pairs",
     "ngram_jaccard", "quality_score", "lsh_ann", "multimodal_features",
+    "lowzoom_lines", "polygon_validity",
 ]
 
 
