@@ -43,10 +43,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
     """(doc_id, sig array<string>): per-doc minhash signature — the
     i-th component is min(md5(shingle || '#' || i)) over shingles.
     md5-based so DuckDB reproduces it verbatim."""
-    sh = _shingles(text_col, shingle)
-    comps = [f"array_min(transform({sh}, s -> md5(concat(s, '#', {i}))))"
+    comps = [f"array_min(transform(_sh, s -> md5(concat(s, '#', {i}))))"
              for i in range(n_hashes)]
-    return docs.select("doc_id", F.expr(f"array({', '.join(comps)})").alias("sig"))
+    return (docs
+            # staged column: shingling runs once, not n_hashes times
+            .withColumn("_sh", F.expr(_shingles(text_col, shingle)))
+            .select("doc_id", F.expr(f"array({', '.join(comps)})").alias("sig")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
@@ -71,21 +73,26 @@ def simhash(docs: DataFrame, bits: int = 32, shingle: int = 2,
             text_col: str = "text") -> DataFrame:
     """(doc_id, simhash long): per-doc SimHash — bit j of the
     fingerprint is the sign of the sum over shingles of
-    (bit j of md5(shingle)) ? +1 : -1.  Pure SQL (JVM-side)."""
+    (bit j of md5(shingle)) ? +1 : -1.  Pure SQL (JVM-side).
+
+    Single pass: shingles hashed ONCE into an int array (staged
+    column, so CollapseProject can't duplicate it), then one
+    ``aggregate`` fold accumulating all ``bits`` counters via
+    ``zip_with`` — vs the naive formulation's bits× re-hash."""
     sh = _shingles(text_col, shingle)
-    # per-shingle: take 8 hex chars -> 32-bit int
     hv = "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
-    bit_sums = ", ".join(
-        f"aggregate({sh}, 0L, (acc, s) -> acc + "
-        f"(case when ({hv} div {1 << j}) % 2 = 1 then 1 else -1 end))"
-        for j in range(bits))
+    signs = (f"transform(sequence(0, {bits - 1}), "
+             f"j -> case when (h div cast(pow(2, j) as bigint)) % 2 = 1 "
+             f"then 1L else -1L end)")
+    fold = (f"aggregate(_hv, array_repeat(0L, {bits}), "
+            f"(acc, h) -> zip_with(acc, {signs}, (a, b) -> a + b))")
     combine = " + ".join(
         f"(case when element_at(_bs, {j + 1}) > 0 then {1 << j}L else 0L end)"
         for j in range(bits))
-    return docs.select(
-        "doc_id",
-        F.expr(f"array({bit_sums})").alias("_bs")
-    ).select("doc_id", F.expr(combine).alias("simhash"))
+    return (docs
+            .withColumn("_hv", F.expr(f"transform({sh}, s -> {hv})"))
+            .withColumn("_bs", F.expr(fold))
+            .select("doc_id", F.expr(combine).alias("simhash")))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -1,0 +1,95 @@
+"""Physical-plan assertions: the optimizations we rely on at 100TB
+must actually appear in the plans Catalyst produces (predicate
+pushdown to parquet, broadcast joins for small dims, shuffle-free
+map-literal tile allocation, whole-stage codegen in the hot path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_on_written_tiles(spark, docs_path, tmp_path):
+    """S4: bbox/minzoom predicates reach the parquet scan of the tiled
+    output (`pack_geometry.rs:530-585` pushdown equivalent)."""
+    from osmquadtree_geometry_spark.config.minzoom import MinZoomSpec
+    from osmquadtree_geometry_spark.pipeline import run_pipeline
+    from osmquadtree_geometry_spark.sinks import write_sorted_tiles
+    res = run_pipeline(spark, docs_path, minzoom=MinZoomSpec.default())
+    out = str(tmp_path / "tiles")
+    write_sorted_tiles(res.points.select(
+        "id", "lon", "lat", "minzoom", "quadtree", "tile"), out)
+
+    back = spark.read.parquet(out)
+    q = back.where((F.col("minzoom") <= 14) & (F.col("lon") > 0)
+                   & (F.col("tile") >= 0)).select("id", "lon")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(minzoom,14)" in plan
+    assert "GreaterThan(lon,0)" in plan
+    # column pruning: scan reads only what the projection needs
+    assert "lat" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_broadcast_join_small_dim(spark):
+    big = spark.range(0, 100000).select(F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("v"))
+    small = spark.range(0, 50).select(F.col("id").alias("k"),
+                                      F.lit("x").alias("name"))
+    j = big.join(F.broadcast(small), "k")
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_tile_alloc_no_shuffle(spark):
+    """Small-dictionary tile allocation is a pure projection — no
+    Exchange in the plan (zero shuffle at any scale)."""
+    import numpy as np
+    from osmquadtree_geometry_spark.kernels import quadtree as qtk
+    from osmquadtree_geometry_spark.operators.tiles import allocate_tiles
+    tiles = [int(qtk.from_tile(np.asarray([x]), np.asarray([y]), 8)[0])
+             for x in range(3) for y in range(3)]
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 1000 + 18).alias("quadtree"))
+    out = allocate_tiles(df, tiles)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "tile" in out.columns
+
+
+def test_decode_stays_codegen(spark, tmp_path):
+    """The staged-SQL quadtree encode must not fall out of whole-stage
+    codegen (the 64KB blowup regression guard).  Fresh fixture file so
+    the plan can't hit session caches from other tests."""
+    from osmquadtree_geometry_spark.datagen import generate_docs_parquet
+    from osmquadtree_geometry_spark.decode import decode_all, read_docs
+    p = generate_docs_parquet(str(tmp_path / "plan_docs.parquet"), 5)
+    nodes = decode_all(read_docs(spark, p))["nodes"]
+    plan = _plan(nodes)
+    # no Python evaluation anywhere in decode (AQE hides codegen node
+    # labels pre-execution, so assert the absence of the slow path)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # positional parse reached the plan (not str_to_map)
+    assert "substring_index" in plan
+    assert "str_to_map" not in plan
+
+
+def test_knn_plan_is_equi_join(spark, docs_path):
+    """Cell-bucketed spatial joins must plan as hash/sort-merge joins,
+    never BroadcastNestedLoopJoin (the cross-product failure mode)."""
+    from osmquadtree_geometry_spark.pipeline import run_pipeline
+    from osmquadtree_geometry_spark.spatial.joins import knn_join, raster_vector_join
+    res = run_pipeline(spark, docs_path, with_tiles=False)
+    k = knn_join(res.points, res.points, k=3, cell_depth=6, max_rings=1)
+    pk = _plan(k)
+    assert "NestedLoop" not in pk and "CartesianProduct" not in pk
+    rv = raster_vector_join(res.decoded["media"], res.points)
+    prv = _plan(rv)
+    assert "NestedLoop" not in prv and "CartesianProduct" not in prv
