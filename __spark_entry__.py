@@ -45,7 +45,13 @@ def _ensure_workers(spark: SparkSession) -> None:
     os.makedirs(os.path.join(_REPO, ".data"), exist_ok=True)
     zip_base = os.path.join(_REPO, ".data", "osmquadtree_geometry_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+    # rebuild when any source file is newer than the zip (a stale zip
+    # would ship OLD code to executors)
+    src_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(_REPO, "osmquadtree_geometry_spark"))
+        for f in fs if f.endswith(".py"))
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         shutil.make_archive(zip_base, "zip", root_dir=_REPO,
                             base_dir="osmquadtree_geometry_spark")
     spark.sparkContext.addPyFile(zip_path)
