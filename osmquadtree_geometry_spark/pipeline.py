@@ -123,3 +123,80 @@ def feature_counts(res: PipelineResult) -> DataFrame:
             .unionByName(c(res.linestrings, "linestrings"))
             .unionByName(c(res.simple_polygons, "simple_polygons"))
             .unionByName(c(res.complicated_polygons, "complicated_polygons")))
+
+
+def run_pipeline_checkpointed(spark: SparkSession, docs_path: str,
+                              workdir: str,
+                              style: GeometryStyle | None = None,
+                              minzoom: MinZoomSpec | None = None,
+                              tile_group_depth: int = 8,
+                              force: bool = False) -> tuple[PipelineResult, dict]:
+    """North-rule resumable pipeline: every stage materializes through
+    the LineageStore with per-partition row metrics; a re-run (same
+    input fingerprint) skips completed stages and resumes mid-tiling.
+
+    Returns (result, resumed_flags) where resumed_flags[stage] is True
+    when the stage was served from its checkpoint."""
+    from .lineage import LineageStore, fingerprint_input, run_stage
+
+    style = style or GeometryStyle()
+    store = LineageStore(spark, workdir)
+    fp = fingerprint_input(docs_path)
+    resumed: dict[str, bool] = {}
+
+    def stage(name, build):
+        out, was = run_stage(store, name, fp, build, force=force)
+        resumed[name] = was
+        return out
+
+    docs = read_docs(spark, docs_path)
+    t = decode_all(docs)
+    nodes = stage("decode_nodes", lambda: t["nodes"])
+    ways = stage("decode_ways", lambda: t["ways"])
+    relations = stage("decode_relations", lambda: t["relations"])
+    media = stage("decode_media", lambda: t["media"])
+
+    ways_ll = stage("waynodes", lambda: collect_way_nodes(ways, nodes)[0])
+    err_w = stage("waynodes_errors", lambda: collect_way_nodes(ways, nodes)[1])
+
+    nodes2 = (stage("parent_tags", lambda: add_parent_tags(nodes, ways_ll, style))
+              if style.parent_tags else nodes)
+    ways2 = (stage("relation_tags", lambda: add_relation_tags(ways_ll, relations, style))
+             if style.relation_tag_spec else ways_ll)
+
+    if style.multipolygons:
+        cpolys = stage("multipolygons",
+                       lambda: process_multipolygons(relations, ways2, style)[0])
+        err_r = stage("multipolygon_errors",
+                      lambda: process_multipolygons(relations, ways2, style)[1])
+    else:
+        cpolys = spark.createDataFrame([], "doc_id string, id long")
+        err_r = spark.createDataFrame([], EMPTY_ERRORS)
+
+    points = stage("points", lambda: make_points(nodes2, style))
+    lines = stage("lines", lambda: make_ways(ways2, style)[0])
+    spolys = stage("simple_polygons", lambda: make_ways(ways2, style)[1])
+
+    if minzoom is not None:
+        p0, l0, s0, c0 = points, lines, spolys, cpolys  # snapshot: the
+        # lambdas must see pre-minzoom inputs even after rebinding
+
+        def mz(i):
+            return lambda: find_minzoom(p0, l0, s0, c0, minzoom)[i]
+        points = stage("minzoom_points", mz(0))
+        lines = stage("minzoom_lines", mz(1))
+        spolys = stage("minzoom_simple_polygons", mz(2))
+        cpolys = stage("minzoom_complicated_polygons", mz(3))
+
+    tiles = tile_dictionary(nodes, tile_group_depth)
+    points = stage("tiles_points", lambda: allocate_tiles(points, tiles))
+    lines = stage("tiles_lines", lambda: allocate_tiles(lines, tiles))
+    spolys = stage("tiles_simple_polygons", lambda: allocate_tiles(spolys, tiles))
+    cpolys = stage("tiles_complicated_polygons", lambda: allocate_tiles(cpolys, tiles))
+
+    res = PipelineResult(points=points, linestrings=lines,
+                         simple_polygons=spolys, complicated_polygons=cpolys,
+                         errors=err_w.unionByName(err_r),
+                         decoded={"nodes": nodes, "ways": ways,
+                                  "relations": relations, "media": media})
+    return res, resumed
