@@ -81,25 +81,32 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                             *[F.expr(v).alias(k) for k, v in _BBOX.items()])
             .withColumn("cell", F.explode(cover_cells_udf(
                 "minlon", "minlat", "maxlon", "maxlat", F.lit(cell_depth)))))
-    pt = (points.select(F.col("id").alias("point_id"), "lon", "lat")
-          .withColumn("cell", _cell_at("lon", "lat", cell_depth)))
-    j = pt.join(poly.select("polygon_id", "lonlats", "cell"), "cell")
+    # pack each cell's points into ONE array row, then equi-join the
+    # polygons: one kernel row per (polygon, cell) — never one row per
+    # (point, polygon), which would duplicate the ring per point
+    pts_by_cell = (points.select(F.col("id").alias("point_id"), "lon", "lat")
+                   .withColumn("cell", _cell_at("lon", "lat", cell_depth))
+                   .groupBy("cell")
+                   .agg(F.collect_list(F.struct("point_id", "lon", "lat"))
+                        .alias("pts")))
+    j = poly.select("polygon_id", "lonlats", "cell").join(pts_by_cell, "cell")
 
-    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+    def check(batches):
         import numpy as np
-        rows = []
-        for poly_id, grp in pdf.groupby("polygon_id"):
-            ll = grp["lonlats"].iloc[0]
-            rlon = np.asarray([p["lon"] for p in ll], np.int64)
-            rlat = np.asarray([p["lat"] for p in ll], np.int64)
-            inside = geomcalc.points_in_ring(
-                rlon, rlat, grp["lon"].to_numpy(), grp["lat"].to_numpy())
-            for pid in grp.loc[inside, "point_id"]:
-                rows.append({"point_id": int(pid), "polygon_id": int(poly_id)})
-        return pd.DataFrame(rows, columns=["point_id", "polygon_id"])
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                rlon = np.fromiter((p["lon"] for p in r.lonlats), np.int64)
+                rlat = np.fromiter((p["lat"] for p in r.lonlats), np.int64)
+                plon = np.fromiter((p["lon"] for p in r.pts), np.int64)
+                plat = np.fromiter((p["lat"] for p in r.pts), np.int64)
+                inside = geomcalc.points_in_ring(rlon, rlat, plon, plat)
+                for i in np.flatnonzero(inside):
+                    out.append({"point_id": int(r.pts[i]["point_id"]),
+                                "polygon_id": int(r.polygon_id)})
+            yield pd.DataFrame(out, columns=["point_id", "polygon_id"])
 
-    return (j.groupBy("cell")
-            .applyInPandas(check, "point_id long, polygon_id long")
+    return (j.mapInPandas(check, "point_id long, polygon_id long")
             .distinct())
 
 
