@@ -476,14 +476,22 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                    length(text) AS n_chars
             FROM documents""",
-        # pip_join / knn_join / raster_vector / clip_lines /
-        # geojson_points / minhash_lsh_pairs / simhash_pairs /
-        # ngram_jaccard / lsh_ann / multimodal_features / quality_score:
-        # rows-only (geometric predicates & LSH candidate sets are
-        # verified by kernel unit tests + brute-force oracles in
-        # tests/)
+        # multimodal_features: rows-only (the fake decoder is a seeded
+        # numpy RNG — not SQL-expressible; the Arrow plumbing is
+        # pytest-covered).  multipolygons / assembly_errors /
+        # clip_lines / lowzoom_lines / polygon_validity: rows-only
+        # (ring assembly, parametric clipping, and simplification are
+        # iterative geometry — verified by kernel unit tests +
+        # brute-force pytest oracles)
         "minhash_signatures": oracles.q_minhash_signatures(n_hashes=8),
+        "minhash_lsh_pairs": oracles.q_minhash_lsh_pairs(
+            n_hashes=8, bands=4, max_bucket=64),
         "simhash": oracles.q_simhash(),
+        "simhash_pairs": oracles.q_simhash_pairs(max_hamming=3),
+        "ngram_jaccard": oracles.q_ngram_jaccard(threshold=0.8),
+        "quality_score": oracles.q_quality_score(
+            __import__("osmquadtree_geometry_spark.textops",
+                       fromlist=["STOPWORDS"]).STOPWORDS["en"]),
         "language_id": oracles.q_language_id(
             __import__("osmquadtree_geometry_spark.textops",
                        fromlist=["STOPWORDS"]).STOPWORDS),

@@ -8,7 +8,11 @@ operator has a DuckDB-expressible oracle.  Shuffle structure:
   * minhash LSH: docs -> shingles -> per-doc signature (aggregate,
     no shuffle) -> explode bands -> groupBy band bucket (only buckets
     with >1 doc survive) -> pair join inside buckets.
-  * simhash: per-doc 64-bit fingerprint, band-bucketed the same way.
+  * simhash: per-doc 60-bit fingerprint, band-bucketed the same way.
+
+Pair generators (LSH bands, simhash chunks) run over DISTINCT texts
+(exact duplicates collapsed to a keeper first) and cap bucket sizes,
+so no in-bucket self-join is unbounded at scale.
 """
 
 from __future__ import annotations
@@ -51,36 +55,67 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
             .select("doc_id", F.expr(f"array({', '.join(comps)})").alias("sig")))
 
 
+def _distinct_text_keepers(docs: DataFrame, text_col: str) -> DataFrame:
+    """Exact-dedup-first: one keeper (min doc_id) per distinct text.
+    Exact duplicates share EVERY band/chunk, so feeding them to LSH
+    turns each duplicate family into an O(n²) mega-bucket; collapsing
+    them first bounds bucket sizes by *near*-duplicate density."""
+    return (docs.groupBy(text_col)
+            .agg(F.min("doc_id").alias("doc_id")))
+
+
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
-                      shingle: int = 3, text_col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket
-    (band = md5 of its signature slice).  Returns (a, b, n_bands)."""
+                      shingle: int = 3, text_col: str = "text",
+                      max_bucket: int = 64) -> DataFrame:
+    """Candidate near-dup pairs: distinct-text keepers sharing any LSH
+    band bucket (band = md5 of its signature slice).  Returns
+    (a, b, n_bands).
+
+    Scale guards: exact duplicates are collapsed to one keeper before
+    banding (see ``_distinct_text_keepers``), and buckets larger than
+    ``max_bucket`` are dropped entirely (standard LSH practice — an
+    oversized bucket means the band is non-discriminative there, and
+    its O(n²) in-bucket self-join would dominate the job)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, shingle, text_col)
+    uniq = _distinct_text_keepers(docs, text_col)
+    sig = minhash_signatures(uniq, n_hashes, shingle, text_col)
     banded = sig.select(
         "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {bands - 1}), b -> md5(array_join("
             f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}), '|')))"))
         .alias("band", "bucket"))
-    a = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    # bucket-size filter: the count agg shares the (band, bucket)
+    # partitioning with the join below — one shuffle, reused
+    sizes = (banded.groupBy("band", "bucket")
+             .agg(F.count("*").alias("bsz"))
+             .where((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)))
+    kept = banded.join(sizes.select("band", "bucket"), ["band", "bucket"])
+    a = kept.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = kept.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"]).where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.count("*").alias("n_bands")))
 
 
-def simhash(docs: DataFrame, bits: int = 32, shingle: int = 2,
+def simhash(docs: DataFrame, bits: int = 60, shingle: int = 2,
             text_col: str = "text") -> DataFrame:
     """(doc_id, simhash long): per-doc SimHash — bit j of the
     fingerprint is the sign of the sum over shingles of
     (bit j of md5(shingle)) ? +1 : -1.  Pure SQL (JVM-side).
+
+    60 bits (15 md5 hex chars) — the widest width that stays exactly
+    representable as a non-negative BIGINT in both Spark and DuckDB;
+    with 4 hamming chunks that is 15 bits/chunk = 32,768 buckets per
+    chunk index, vs 256 at the old 32-bit width (the round-1
+    scale-killer: every bucket held ~n/256 docs).
 
     Single pass: shingles hashed ONCE into an int array (staged
     column, so CollapseProject can't duplicate it), then one
     ``aggregate`` fold accumulating all ``bits`` counters via
     ``zip_with`` — vs the naive formulation's bits× re-hash."""
     sh = _shingles(text_col, shingle)
-    hv = "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+    hex_chars = (bits + 3) // 4
+    hv = f"cast(conv(substring(md5(s), 1, {hex_chars}), 16, 10) as bigint)"
     signs = (f"transform(sequence(0, {bits - 1}), "
              f"j -> case when (h div cast(pow(2, j) as bigint)) % 2 = 1 "
              f"then 1L else -1L end)")
@@ -96,15 +131,20 @@ def simhash(docs: DataFrame, bits: int = 32, shingle: int = 2,
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       bits: int = 32, shingle: int = 2,
+                       bits: int = 60, shingle: int = 2,
                        text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash: band the fingerprint into
-    (max_hamming+1) chunks — any pair within the hamming radius shares
-    at least one exact chunk (pigeonhole) -> equi-join on chunks, then
-    exact hamming filter via bit_count."""
+    """Near-dup pairs by SimHash over distinct-text keepers: band the
+    fingerprint into (max_hamming+1) chunks — any pair within the
+    hamming radius shares at least one exact chunk (pigeonhole) ->
+    equi-join on chunks, then exact hamming filter via bit_count.
+
+    At 60 bits / 4 chunks each chunk index has 2^15 buckets, so the
+    in-bucket self-join is O(n²/32768) per chunk — and exact
+    duplicates (which share all chunks) are collapsed first."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    s = simhash(docs, bits, shingle, text_col)
+    uniq = _distinct_text_keepers(docs, text_col)
+    s = simhash(uniq, bits, shingle, text_col)
     chunks = s.select(
         "doc_id", "simhash",
         F.posexplode(F.expr(
@@ -117,7 +157,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                       "chunk_idx", "chunk")
     cand = (a.join(b, ["chunk_idx", "chunk"]).where(F.col("a") < F.col("b"))
             .select("a", "b", "ha", "hb").distinct())
-    return (cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+    return (cand.withColumn("hamming",
+                            F.expr("bit_count(ha ^ hb)").cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
 

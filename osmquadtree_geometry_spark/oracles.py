@@ -281,9 +281,11 @@ def q_minhash_signatures(n_hashes: int = 8, shingle: int = 3) -> str:
             f"FROM documents")
 
 
-def q_simhash(bits: int = 32, shingle: int = 2) -> str:
+def q_simhash(bits: int = 60, shingle: int = 2,
+              from_table: str = "documents") -> str:
     sh = _shingles_dd(shingle)
-    hv = "('0x' || substring(md5(s), 1, 8))::bigint"
+    hex_chars = (bits + 3) // 4
+    hv = f"('0x' || substring(md5(s), 1, {hex_chars}))::bigint"
     bit_sums = ", ".join(
         f"list_sum(list_transform({sh}, s -> CASE WHEN ({hv} // {1 << j}) % 2 = 1 "
         f"THEN 1 ELSE -1 END))" for j in range(bits))
@@ -291,7 +293,96 @@ def q_simhash(bits: int = 32, shingle: int = 2) -> str:
         f"(CASE WHEN bs[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)::bigint"
         for j in range(bits))
     return (f"SELECT doc_id, ({combine}) AS simhash FROM "
-            f"(SELECT doc_id, [{bit_sums}] AS bs FROM documents)")
+            f"(SELECT doc_id, [{bit_sums}] AS bs FROM {from_table})")
+
+
+_KEEPERS = ("(SELECT min(doc_id) AS doc_id, text FROM documents "
+            "GROUP BY text)")
+
+
+def q_minhash_lsh_pairs(n_hashes: int = 8, bands: int = 4,
+                        shingle: int = 3, max_bucket: int = 64) -> str:
+    """Mirror of dedup.minhash_lsh_pairs: distinct-text keepers,
+    band-bucket equi-join, bucket-size cap."""
+    sh = _shingles_dd(shingle)
+    rpb = n_hashes // bands
+    comps = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5(s || '#' || {i})))"
+        for i in range(n_hashes))
+    return f"""
+WITH uniq AS {_KEEPERS},
+sig AS (SELECT doc_id, [{comps}] AS sig FROM uniq),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sig[b * {rpb} + 1 : (b + 1) * {rpb}], '|')) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS b)),
+sized AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+          HAVING count(*) BETWEEN 2 AND {max_bucket}),
+kept AS (SELECT banded.* FROM banded JOIN sized USING (band, bucket))
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_bands
+FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id"""
+
+
+def q_simhash_pairs(max_hamming: int = 3, bits: int = 60,
+                    shingle: int = 2) -> str:
+    """Mirror of dedup.simhash_near_pairs: distinct-text keepers,
+    hamming-chunk equi-join, exact bit_count filter."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sh_sql = q_simhash(bits, shingle, from_table="uniq")
+    return f"""
+WITH uniq AS {_KEEPERS},
+sh AS ({sh_sql}),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+         (simhash // power(2, c * {chunk_bits})::bigint) % {1 << chunk_bits} AS chunk
+  FROM sh, (SELECT unnest(generate_series(0, {n_chunks - 1})) AS c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id)
+SELECT a, b, bit_count(xor(ha, hb))::bigint AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
+def q_ngram_jaccard(threshold: float = 0.8, shingle: int = 3) -> str:
+    """Mirror of dedup.ngram_jaccard_pairs (blocked by ``source``)."""
+    sh = _shingles_dd(shingle)
+    return f"""
+WITH s AS (SELECT doc_id, source AS blk, list_distinct({sh}) AS sh
+           FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::double /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::double /
+            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= {threshold}"""
+
+
+def q_quality_score(stopwords_en: list[str]) -> str:
+    """Mirror of textops.quality_score (raw ratios inside the combined
+    score, rounding only on output columns)."""
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    lst = ", ".join(f"'{w}'" for w in stopwords_en)
+    n = f"len({toks})"
+    punct = (r"length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) / "
+             "greatest(length(text), 1)::double")
+    mean_tok = f"length(trim(text)) / greatest({n}, 1)::double"
+    stop_en = (f"len(list_filter({toks}, t -> t IN ({lst}))) / "
+               f"greatest({n}, 1)::double")
+    return f"""
+SELECT doc_id,
+       {n}::bigint AS n_tokens,
+       round({mean_tok}, 6) AS mean_token_len,
+       round({punct}, 6) AS punct_ratio,
+       round({stop_en}, 6) AS stop_ratio_en,
+       round(least(1.0, {n} / 100.0) * (1.0 - least(1.0, ({punct}) * 4)) *
+             least(1.0, 0.2 + ({stop_en}) * 4), 6) AS quality
+FROM documents"""
 
 
 def q_language_id(stopwords: dict[str, list[str]]) -> str:
@@ -353,14 +444,17 @@ FROM events GROUP BY 1, 2"""
 
 
 def q_sessionize(gap_minutes: int = 30) -> str:
+    # both windows order by (ts, event_id) — with tied timestamps the
+    # cumulative session id depends on the tie-break, so the sess CTE
+    # must use the same ordering as gaps (round-1 red row)
     return f"""
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (SELECT user_id, ts,
-                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS session_id
          FROM gaps)
 SELECT user_id, session_id, count(*) AS n_events,

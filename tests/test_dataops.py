@@ -34,21 +34,35 @@ def test_exact_duplicates(spark, docs):
         assert r.n_dups > 1
 
 
-def test_minhash_lsh_finds_exact_dups(spark, docs):
+def test_minhash_lsh_keeper_semantics(spark, docs):
+    """Exact duplicates are collapsed to a keeper BEFORE banding —
+    non-keeper doc_ids must never appear in any pair (they'd otherwise
+    form O(n²) mega-buckets at scale)."""
     from osmquadtree_geometry_spark.dedup import minhash_lsh_pairs
     pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4).collect()
-    # identical texts share ALL bands -> must appear with n_bands=4
     pdf = docs.toPandas()
-    dup_groups = pdf.groupby("text")["doc_id"].apply(list)
-    exact_pairs = set()
-    for ids in dup_groups:
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                exact_pairs.add((ids[i], ids[j]))
-    got = {(r.a, r.b): r.n_bands for r in pairs}
-    for p in exact_pairs:
-        assert got.get(p) == 4, f"exact dup pair {p} missed by LSH"
+    keepers = set(pdf.groupby("text")["doc_id"].min())
+    for r in pairs:
+        assert r.a in keepers and r.b in keepers
+        assert 1 <= r.n_bands <= 4
+
+
+def test_minhash_lsh_near_dups_and_bucket_cap(spark):
+    """A near-duplicate (one token changed out of 40) must share a
+    band with the original; max_bucket below the bucket size must
+    drop the bucket (and hence the pair)."""
+    from osmquadtree_geometry_spark.dedup import minhash_lsh_pairs
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" if i != 39 else "CHANGED" for i in range(40))
+    rows = [(1, base), (2, base), (3, near)]  # 1,2 exact dups; 3 near
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.n_bands
+             for r in minhash_lsh_pairs(d, n_hashes=8, bands=4).collect()}
+    assert (1, 3) in pairs          # near-dup found via shared band
+    assert not any(2 in p for p in pairs)  # 2 collapsed into keeper 1
+    # cap of 1 forbids every bucket (needs >=2 to pair at all)
+    capped = minhash_lsh_pairs(d, n_hashes=8, bands=4, max_bucket=1).collect()
+    assert capped == []
 
 
 def test_minhash_signature_deterministic(spark, docs):
@@ -61,15 +75,15 @@ def test_minhash_signature_deterministic(spark, docs):
 def test_simhash_near_pairs(spark, docs):
     from osmquadtree_geometry_spark.dedup import simhash, simhash_near_pairs
     s = {r.doc_id: r.simhash for r in simhash(docs).collect()}
-    assert all(0 <= v < 2**32 for v in s.values())
+    # 60-bit fingerprints: non-negative, < 2^60 (round-1's 32-bit
+    # width gave only 256 hamming buckets — a scale-killer)
+    assert all(0 <= v < 2**60 for v in s.values())
     pairs = simhash_near_pairs(docs, max_hamming=3).collect()
-    # identical texts -> hamming 0, must be found
+    # exact duplicates are collapsed to keepers before chunking
     pdf = docs.toPandas()
-    for _, grp in pdf.groupby("text"):
-        ids = sorted(grp["doc_id"])
-        if len(ids) > 1:
-            assert any((r.a, r.b) == (ids[0], ids[1]) and r.hamming == 0
-                       for r in pairs)
+    keepers = set(pdf.groupby("text")["doc_id"].min())
+    for r in pairs:
+        assert r.a in keepers and r.b in keepers
     # verify hamming against fingerprints
     for r in pairs[:20]:
         assert bin(s[r.a] ^ s[r.b]).count("1") == r.hamming

@@ -77,6 +77,7 @@ ORACLE_QUERIES = [
     "lineitem_agg", "top_customers", "dedup_exact", "token_stats",
     "minhash_signatures", "simhash", "language_id", "token_counts",
     "fingerprint", "embedding_topk", "events_rollup", "sessionize",
+    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "quality_score",
 ]
 
 
@@ -95,8 +96,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 ROWS_ONLY_QUERIES = [
     "multipolygons", "assembly_errors", "tile_assignment",
     "pip_join", "knn_join", "raster_vector", "clip_lines",
-    "geojson_points", "minhash_lsh_pairs", "simhash_pairs",
-    "ngram_jaccard", "quality_score", "lsh_ann", "multimodal_features",
+    "geojson_points", "lsh_ann", "multimodal_features",
     "lowzoom_lines", "polygon_validity",
 ]
 
