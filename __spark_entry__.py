@@ -451,7 +451,11 @@ def oracle_sql() -> dict[str, str]:
         "relation_tags": oracles.q_relation_tags(docs, STYLE),
         "parent_tags": oracles.q_parent_tags(docs, STYLE),
         "minzoom_points": oracles.q_minzoom_points(docs, STYLE, MINZOOM),
-        # multipolygons / assembly_errors / tile_assignment: rows-only
+        "tile_assignment": oracles.q_tile_assignment(docs, STYLE, MINZOOM),
+        "pip_join": oracles.q_pip_join(docs, STYLE),
+        "knn_join": oracles.q_knn_join(docs, STYLE, k=3),
+        "raster_vector": oracles.q_raster_vector(docs, STYLE, MINZOOM),
+        # multipolygons / assembly_errors: rows-only
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from .config.minzoom import MinZoomSpec
 from .config.style import GeometryStyle
 from .kernels.mercator import EARTH_WIDTH
-from .kernels.quadtree import sql_point_qt, sql_round_qt
+from .kernels.quadtree import sql_point_qt, sql_qt_depth, sql_round_qt
 
 
 def _lit(s: str) -> str:
@@ -255,6 +255,127 @@ fz AS (SELECT nd.id AS id, {zoom} AS mz, {qt} AS q0
 SELECT id, mz AS minzoom,
        CASE WHEN mz IS NULL THEN q0 ELSE {rqt} END AS quadtree
 FROM fz"""
+
+
+def _fz_cte(style: GeometryStyle, spec: MinZoomSpec) -> str:
+    """CTE fragment ``fz``: feature nodes with (id, lon, lat, minzoom,
+    final quadtree) — the node-side output of G10+G14 (shared by the
+    minzoom / tile / raster-vector / knn oracles)."""
+    exact = [((k, v), z) for (k, v), z in spec.points.items() if v != "*"]
+    stars = [(k, z) for (k, v), z in spec.points.items() if v == "*"]
+    e_cases = " ".join(f"WHEN tg.k = {_lit(k)} AND tg.v = {_lit(v)} THEN {z}"
+                       for (k, v), z in exact)
+    s_cases = " ".join(f"WHEN tg.k = {_lit(k)} THEN {z}" for k, z in stars)
+    zoom = (f"(SELECT min(coalesce(CASE {e_cases} ELSE NULL END, "
+            f"CASE {s_cases} ELSE NULL END)) FROM tg "
+            f"WHERE tg.elem = 'node' AND tg.id = nd.id)")
+    qt = sql_point_qt("nd.lon", "nd.lat")
+    rqt = sql_round_qt("q0", "mz")
+    return f"""
+fz0 AS (SELECT nd.id AS id, nd.lon AS lon, nd.lat AS lat,
+               {zoom} AS mz, {qt} AS q0
+        FROM nd WHERE {feature_exists(style, 'node', 'nd.id')}),
+fz AS (SELECT id, lon, lat, mz,
+              CASE WHEN mz IS NULL THEN q0 ELSE {rqt} END AS quadtree
+       FROM fz0)
+"""
+
+
+def q_tile_assignment(docs_path: str, style: GeometryStyle,
+                      spec: MinZoomSpec, group_depth: int = 8) -> str:
+    """Per-tile point counts (S5/J6): the tile dictionary is the
+    distinct depth-``group_depth`` round of ALL node z18 cells; each
+    feature point gets its deepest registered ancestor, else -1."""
+    qt = sql_point_qt("nd.lon", "nd.lat")
+    d = str(group_depth)
+    r8 = sql_round_qt("quadtree", d)
+    return f"""WITH {base_ctes(docs_path)}, {_fz_cte(style, spec)},
+dict AS (SELECT DISTINCT {sql_round_qt('q0', d)} AS tile
+         FROM (SELECT {qt} AS q0 FROM nd)),
+alloc AS (SELECT CASE WHEN {sql_qt_depth('quadtree')} >= {group_depth}
+                       AND {r8} IN (SELECT tile FROM dict)
+                      THEN {r8} ELSE -1 END AS tile
+          FROM fz)
+SELECT tile, count(*) AS n_points FROM alloc GROUP BY tile"""
+
+
+def q_pip_join(docs_path: str, style: GeometryStyle) -> str:
+    """Brute-force point-in-polygon oracle: every (feature node,
+    simple-polygon way) pair with the pnpoly crossing test in float
+    degrees — IDENTICAL arithmetic to kernels.geomcalc.points_in_ring
+    (edges (i-1, i), xcross = (xj-xi)(ty-yi)/(yj-yi)+xi, strict <).
+    A cheap bbox pre-filter (lossless: inside => within bbox) keeps
+    the cross product small."""
+    is_poly = polygon_match(style, "wstat.way")
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+polys AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND wstat.f = wstat.l AND {is_poly}
+),
+rings AS (SELECT wp.way,
+                 list(struct_pack(lon := wp.lon, lat := wp.lat) ORDER BY wp.pos) AS ll,
+                 min(wp.lon) AS minlon, min(wp.lat) AS minlat,
+                 max(wp.lon) AS maxlon, max(wp.lat) AS maxlat
+          FROM wp JOIN polys ON wp.way = polys.way GROUP BY wp.way),
+fpts AS (SELECT nd.id, nd.lon, nd.lat FROM nd
+         WHERE {feature_exists(style, 'node', 'nd.id')})
+SELECT f.id AS point_id, r.way AS polygon_id
+FROM fpts f JOIN rings r
+  ON f.lon BETWEEN r.minlon AND r.maxlon
+ AND f.lat BETWEEN r.minlat AND r.maxlat
+WHERE (len(list_filter(generate_series(2, len(r.ll)), i ->
+        ((r.ll[i].lat * 1e-7 > f.lat * 1e-7) != (r.ll[i-1].lat * 1e-7 > f.lat * 1e-7))
+        AND f.lon * 1e-7 < (r.ll[i-1].lon * 1e-7 - r.ll[i].lon * 1e-7)
+            * (f.lat * 1e-7 - r.ll[i].lat * 1e-7)
+            / (r.ll[i-1].lat * 1e-7 - r.ll[i].lat * 1e-7)
+            + r.ll[i].lon * 1e-7)) % 2) = 1"""
+
+
+def q_knn_join(docs_path: str, style: GeometryStyle, k: int = 3) -> str:
+    """Brute-force exact kNN oracle over feature nodes (2dp mercator,
+    row_number tie-break on target id) — valid because knn_join is
+    exact (phase-2 brute-force fallback for unsettled queries)."""
+    return f"""WITH {base_ctes(docs_path)},
+fpts AS (SELECT nd.id, {merc_x('nd.lon')} AS x, {merc_y('nd.lat')} AS y
+         FROM nd WHERE {feature_exists(style, 'node', 'nd.id')}),
+pairs AS (SELECT q.id AS query_id, t.id AS target_id,
+                 sqrt(power(q.x - t.x, 2) + power(q.y - t.y, 2)) AS dist
+          FROM fpts q JOIN fpts t ON q.id <> t.id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY dist, target_id) AS rn FROM pairs)
+SELECT query_id, target_id, round(dist, 2) AS dist
+FROM ranked WHERE rn <= {k}"""
+
+
+def q_raster_vector(docs_path: str, style: GeometryStyle,
+                    spec: MinZoomSpec) -> str:
+    """media raster tiles ⋈ feature points where one quadtree cell is
+    an ancestor-or-self of the other (mirrors
+    spatial.joins.raster_vector_join's two equi-join directions as a
+    single symmetric predicate)."""
+    dm = sql_qt_depth("m.tile_cell")
+    df = sql_qt_depth("f.quadtree")
+    r_f_at_m = sql_round_qt("f.quadtree", dm)
+    r_m_at_f = sql_round_qt("m.tile_cell", df)
+    return f"""WITH {base_ctes(docs_path)}, {_fz_cte(style, spec)},
+md AS (SELECT doc_id, s.media_ref AS tile,
+              cast(string_split(s.media_ref, '/')[1] AS bigint) AS z,
+              cast(string_split(s.media_ref, '/')[2] AS bigint) AS x,
+              cast(string_split(s.media_ref, '/')[3] AS bigint) AS y
+       FROM sp WHERE s.kind = 'media'),
+mc AS (SELECT doc_id, tile,
+              (coalesce(list_sum(list_transform(generate_series(0, z - 1), s ->
+                 (((x // power(2, s)::bigint) % 2) * 2 +
+                  ((y // power(2, s)::bigint) % 2)) * power(4, s)::bigint)), 0)
+               * power(4, 18 - z)::bigint) * 32 + z AS tile_cell
+       FROM md)
+SELECT DISTINCT m.doc_id AS doc_id, m.tile AS tile,
+       f.id AS feature_id, f.quadtree AS quadtree
+FROM mc m JOIN fz f
+  ON (({dm}) <= ({df}) AND {r_f_at_m} = m.tile_cell)
+  OR (({df}) <= ({dm}) AND {r_m_at_f} = f.quadtree)"""
 
 
 # ---------------------------------------------------------------------------

@@ -71,52 +71,85 @@ _MERC_Y = f"round(ln(tan(pi()/4.0 + radians((%s) * 1e-7)/2.0)) / pi() * {EARTH_W
 
 
 def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
-                          cell_depth: int = 10) -> DataFrame:
+                          cell_depth: int = 10, salt: int = 4) -> DataFrame:
     """(point_id, polygon_id) pairs where the point lies inside the
     polygon's outer ring (pnpoly, `position.rs:284-326`).
 
-    polygons expand to covering cells (bounded fan-out); points map to
-    their single cell; equi-join on cell; exact pnpoly per cell bucket."""
+    Scale shape: polygons expand to covering cells (bounded fan-out)
+    × ``salt`` copies; points map to their single (cell, salt-of-id)
+    bucket; COGROUP on (cell, salt) runs one vectorized pnpoly kernel
+    per (polygon, bucket).  Rows stay bounded: a bucket holds at most
+    points_in_cell / salt points — never the round-1 shape that packed
+    a whole city's points into one collect_list row.  No trailing
+    distinct: each point belongs to exactly one bucket and each
+    polygon appears once per bucket."""
     poly = (polygons.select(F.col("id").alias("polygon_id"), "lonlats",
                             *[F.expr(v).alias(k) for k, v in _BBOX.items()])
             .withColumn("cell", F.explode(cover_cells_udf(
-                "minlon", "minlat", "maxlon", "maxlat", F.lit(cell_depth)))))
-    # pack each cell's points into ONE array row, then equi-join the
-    # polygons: one kernel row per (polygon, cell) — never one row per
-    # (point, polygon), which would duplicate the ring per point
-    pts_by_cell = (points.select(F.col("id").alias("point_id"), "lon", "lat")
-                   .withColumn("cell", _cell_at("lon", "lat", cell_depth))
-                   .groupBy("cell")
-                   .agg(F.collect_list(F.struct("point_id", "lon", "lat"))
-                        .alias("pts")))
-    j = poly.select("polygon_id", "lonlats", "cell").join(pts_by_cell, "cell")
+                "minlon", "minlat", "maxlon", "maxlat", F.lit(cell_depth))))
+            .withColumn("psalt", F.explode(F.expr(
+                f"sequence(0, {salt - 1})")))
+            .select("polygon_id", "lonlats", "cell", "psalt"))
+    pts = (points.select(F.col("id").alias("point_id"), "lon", "lat")
+           .withColumn("cell", _cell_at("lon", "lat", cell_depth))
+           .withColumn("psalt", F.pmod(F.col("point_id"), F.lit(salt))
+                       .cast("int")))
 
-    def check(batches):
+    def check(_key, pts_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                rlon = np.fromiter((p["lon"] for p in r.lonlats), np.int64)
-                rlat = np.fromiter((p["lat"] for p in r.lonlats), np.int64)
-                plon = np.fromiter((p["lon"] for p in r.pts), np.int64)
-                plat = np.fromiter((p["lat"] for p in r.pts), np.int64)
-                inside = geomcalc.points_in_ring(rlon, rlat, plon, plat)
-                for i in np.flatnonzero(inside):
-                    out.append({"point_id": int(r.pts[i]["point_id"]),
-                                "polygon_id": int(r.polygon_id)})
-            yield pd.DataFrame(out, columns=["point_id", "polygon_id"])
+        if len(pts_pdf) == 0 or len(poly_pdf) == 0:
+            return pd.DataFrame({"point_id": pd.Series([], dtype="int64"),
+                                 "polygon_id": pd.Series([], dtype="int64")})
+        plon = pts_pdf["lon"].to_numpy(np.int64)
+        plat = pts_pdf["lat"].to_numpy(np.int64)
+        pid = pts_pdf["point_id"].to_numpy(np.int64)
+        out_pt, out_pg = [], []
+        for r in poly_pdf.itertuples():
+            rlon = np.fromiter((p["lon"] for p in r.lonlats), np.int64)
+            rlat = np.fromiter((p["lat"] for p in r.lonlats), np.int64)
+            inside = geomcalc.points_in_ring(rlon, rlat, plon, plat)
+            hit = pid[inside]
+            out_pt.append(hit)
+            out_pg.append(np.full(len(hit), r.polygon_id, np.int64))
+        return pd.DataFrame({"point_id": np.concatenate(out_pt),
+                             "polygon_id": np.concatenate(out_pg)})
 
-    return (j.mapInPandas(check, "point_id long, polygon_id long")
-            .distinct())
+    return (pts.groupBy("cell", "psalt")
+            .cogroup(poly.groupBy("cell", "psalt"))
+            .applyInPandas(check, "point_id long, polygon_id long"))
+
+
+_KNN_DIST = (f"sqrt(power({_MERC_X % 'qlon'} - {_MERC_X % 'lon'}, 2) + "
+             f"power({_MERC_Y % 'qlat'} - {_MERC_Y % 'lat'}, 2))")
+
+
+def _knn_topk(cand: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("target_id"))
+    return (cand.withColumn("dist", F.expr(_KNN_DIST))
+            .select("query_id", "target_id", "dist")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
 
 
 def knn_join(query_points: DataFrame, target_points: DataFrame, k: int = 5,
              cell_depth: int = 8, max_rings: int = 4) -> DataFrame:
-    """k nearest targets per query point via cell-neighbour expansion
-    at ``cell_depth`` (up to ``max_rings`` rings), exact 2dp-mercator
-    distance, window top-k.  Approximate at the search horizon:
-    queries with < k candidates within the ring radius return fewer
-    rows (standard bounded-expansion ANN behavior at scale)."""
+    """EXACT k nearest targets per query point, two-phase:
+
+    Phase 1 (the 100 TB path): queries explode to their cell's
+    (2·max_rings+1)² neighbour window at ``cell_depth``; targets map
+    to ONE cell each; equi-join, 2dp-mercator distance, window top-k.
+    A query is *settled* when it found k candidates and its kth
+    distance is within the window's guaranteed-coverage radius
+    (max_rings × mercator cell width — quadtree cells are uniform
+    squares in mercator metres, so any target outside the window is
+    farther than that; 0.1 m slack absorbs the 2dp rounding).
+
+    Phase 2 (the residue): unsettled queries — sparse-region points
+    whose kth neighbour lies beyond the window — are re-scored by a
+    brute-force broadcast join.  The residue is the sparse tail, so
+    broadcasting it is cheap; dense regions never leave phase 1.
+    Round 1's fixed-window version silently returned wrong/short
+    results for exactly these queries."""
     import numpy as np
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -134,20 +167,30 @@ def knn_join(query_points: DataFrame, target_points: DataFrame, k: int = 5,
             out.append(qtk.from_tile(gx.ravel(), gy.ravel(), cell_depth).tolist())
         return pd.Series(out)
 
-    q = (query_points.select(F.col("id").alias("query_id"),
+    q0 = query_points.select(F.col("id").alias("query_id"),
                              F.col("lon").alias("qlon"),
                              F.col("lat").alias("qlat"))
-         .withColumn("cell", F.explode(ring_cells("qlon", "qlat"))))
-    t = (target_points.select(F.col("id").alias("target_id"), "lon", "lat")
-         .withColumn("cell", _cell_at("lon", "lat", cell_depth)))
-    j = q.join(t, "cell").where(F.col("query_id") != F.col("target_id"))
-    dist = (f"sqrt(power({_MERC_X % 'qlon'} - {_MERC_X % 'lon'}, 2) + "
-            f"power({_MERC_Y % 'qlat'} - {_MERC_Y % 'lat'}, 2))")
-    w = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("target_id"))
-    return (j.withColumn("dist", F.expr(dist))
-            .select("query_id", "target_id", "dist").distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k).drop("rn"))
+    t0 = target_points.select(F.col("id").alias("target_id"), "lon", "lat")
+    t = t0.withColumn("cell", _cell_at("lon", "lat", cell_depth))
+
+    qc = q0.withColumn("cell", F.explode(ring_cells("qlon", "qlat")))
+    # target -> one cell, query cells distinct => pairs already unique
+    cand1 = qc.join(t, "cell").where(F.col("query_id") != F.col("target_id"))
+    top1 = _knn_topk(cand1, k)
+
+    cell_w = 2.0 * EARTH_WIDTH / (1 << cell_depth)
+    guarantee = max_rings * cell_w - 0.1
+    settled = (top1.groupBy("query_id")
+               .agg(F.count("*").alias("n"), F.max("dist").alias("kd"))
+               .where((F.col("n") >= k) & (F.col("kd") < guarantee))
+               .select("query_id"))
+
+    res1 = top1.join(settled, "query_id", "left_semi")
+    rest_q = q0.join(settled, "query_id", "left_anti")
+    cand2 = (t0.crossJoin(F.broadcast(rest_q))
+             .where(F.col("query_id") != F.col("target_id")))
+    res2 = _knn_topk(cand2, k)
+    return res1.unionByName(res2)
 
 
 def _ancestors(qt_col: str) -> str:

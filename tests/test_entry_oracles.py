@@ -56,6 +56,10 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "relation_tags": oracles.q_relation_tags(docs, style),
         "parent_tags": oracles.q_parent_tags(docs, style),
         "minzoom_points": oracles.q_minzoom_points(docs, style, mz),
+        "tile_assignment": oracles.q_tile_assignment(docs, style, mz),
+        "pip_join": oracles.q_pip_join(docs, style),
+        "knn_join": oracles.q_knn_join(docs, style, k=3),
+        "raster_vector": oracles.q_raster_vector(docs, style, mz),
     })
     return out
 
@@ -78,6 +82,7 @@ ORACLE_QUERIES = [
     "minhash_signatures", "simhash", "language_id", "token_counts",
     "fingerprint", "embedding_topk", "events_rollup", "sessionize",
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "quality_score",
+    "tile_assignment", "pip_join", "knn_join", "raster_vector",
 ]
 
 
@@ -94,8 +99,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 
 
 ROWS_ONLY_QUERIES = [
-    "multipolygons", "assembly_errors", "tile_assignment",
-    "pip_join", "knn_join", "raster_vector", "clip_lines",
+    "multipolygons", "assembly_errors", "clip_lines",
     "geojson_points", "lsh_ann", "multimodal_features",
     "lowzoom_lines", "polygon_validity",
 ]

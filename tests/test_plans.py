@@ -82,14 +82,48 @@ def test_decode_stays_codegen(spark, tmp_path):
 
 
 def test_knn_plan_is_equi_join(spark, docs_path):
-    """Cell-bucketed spatial joins must plan as hash/sort-merge joins,
-    never BroadcastNestedLoopJoin (the cross-product failure mode)."""
+    """Cell-bucketed spatial joins must plan as hash/sort-merge joins.
+    kNN's phase-2 residue is the ONE allowed nested-loop: a broadcast
+    of the unsettled queries (sparse tail) — never an unbroadcast
+    CartesianProduct."""
     from osmquadtree_geometry_spark.pipeline import run_pipeline
     from osmquadtree_geometry_spark.spatial.joins import knn_join, raster_vector_join
     res = run_pipeline(spark, docs_path, with_tiles=False)
     k = knn_join(res.points, res.points, k=3, cell_depth=6, max_rings=1)
     pk = _plan(k)
-    assert "NestedLoop" not in pk and "CartesianProduct" not in pk
+    assert "CartesianProduct" not in pk
+    # phase 1 (the bulk path) is an equi-join on the cell id
+    assert "hashpartitioning(cell" in pk or "SortMergeJoin" in pk \
+        or "BroadcastHashJoin" in pk
+    # any nested loop must be the broadcast phase-2 fallback
+    if "NestedLoop" in pk:
+        assert "BroadcastNestedLoopJoin" in pk
     rv = raster_vector_join(res.decoded["media"], res.points)
     prv = _plan(rv)
     assert "NestedLoop" not in prv and "CartesianProduct" not in prv
+
+
+def test_pip_join_no_unbounded_cell_agg(spark):
+    """pip_join must not pack a cell's points into one collect_list
+    row (round-1 scale-killer): the plan carries cogrouped pandas
+    stages and NO ObjectHashAggregate/collect_list, and no trailing
+    distinct exchange after the kernel.  Synthetic inputs so the plan
+    contains ONLY the join (the decode pipeline legitimately uses
+    collect_list for refs/tag maps)."""
+    from osmquadtree_geometry_spark.spatial.joins import point_in_polygon_join
+    pts = spark.range(0, 100).selectExpr(
+        "id", "cast(id * 1000 as int) as lon", "cast(id * 500 as int) as lat")
+    polys = spark.range(0, 5).selectExpr(
+        "id", "array(named_struct('lon', 0, 'lat', 0), "
+        "named_struct('lon', 100000, 'lat', 0), "
+        "named_struct('lon', 100000, 'lat', 100000), "
+        "named_struct('lon', 0, 'lat', 0)) as lonlats")
+    j = point_in_polygon_join(pts, polys, cell_depth=10)
+    plan = _plan(j)
+    assert "collect_list" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    # nothing downstream of the pandas cogroup kernel (no distinct/agg
+    # on top of the pair stream; formatted explain prints execution
+    # order, so "after" = the text past the last cogroup node)
+    after = plan.rsplit("FlatMapCoGroupsInPandas", 1)[1]
+    assert "HashAggregate" not in after and "Exchange" not in after
