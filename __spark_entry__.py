@@ -236,6 +236,12 @@ def q_geojson_points(spark, sf_dir):
     return geojson_features(res.points, "point")
 
 
+def q_geojson_tiles(spark, sf_dir):
+    from osmquadtree_geometry_spark.sinks import geojson_tile_blocks
+    res = _pipeline(spark, sf_dir)
+    return geojson_tile_blocks(res.points, "point")
+
+
 def q_minhash_signatures(spark, sf_dir):
     from osmquadtree_geometry_spark.dedup import minhash_signatures
     d = spark.read.parquet(_sf(sf_dir, "documents"))
@@ -300,7 +306,8 @@ def q_lsh_ann(spark, sf_dir):
     emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
     q = (emb.orderBy("vec_id").limit(5)
          .selectExpr("vec_id as query_id", "embedding as qe"))
-    return lsh_ann_topk(emb, q, k=10, n_planes=3, n_tables=8)
+    # dim declared (testdata embeddings are 64-wide) -> no .first() probe
+    return lsh_ann_topk(emb, q, k=10, n_planes=3, n_tables=8, dim=64)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -415,6 +422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raster_vector": q_raster_vector,
     "clip_lines": q_clip_lines,
     "geojson_points": q_geojson_points,
+    "geojson_tiles": q_geojson_tiles,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
@@ -455,6 +463,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": oracles.q_pip_join(docs, STYLE),
         "knn_join": oracles.q_knn_join(docs, STYLE, k=3),
         "raster_vector": oracles.q_raster_vector(docs, STYLE, MINZOOM),
+        "geojson_points": oracles.q_geojson_points(docs, STYLE),
+        "geojson_tiles": oracles.q_geojson_tiles(docs, STYLE, MINZOOM),
+        "lsh_ann": oracles.q_lsh_ann(k=10, n_queries=5, n_planes=3,
+                                     n_tables=8, dim=64),
         # multipolygons / assembly_errors: rows-only
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

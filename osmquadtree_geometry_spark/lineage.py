@@ -50,20 +50,45 @@ class LineageStore:
             return False
         return df.where(F.col("input_fingerprint") == fingerprint).count() > 0
 
-    def record(self, stage: str, fingerprint: str, out: DataFrame) -> None:
-        """Append per-partition (rows, bytes) metrics for a stage run."""
+    def record(self, stage: str, fingerprint: str, out: DataFrame,
+               out_dir: str | None = None) -> None:
+        """Append per-partition (rows, bytes) metrics for a stage run.
+
+        With ``out_dir`` (a just-written parquet directory, the normal
+        ``run_stage`` path), bytes are the REAL on-disk file sizes:
+        rows are counted per source file (``input_file_name``) and each
+        file's size is read from the filesystem — one small collect of
+        one row per output file.  Without it (ad-hoc DataFrames), falls
+        back to a documented 64-bytes/row estimate."""
+        now = time.time()
+        if out_dir is not None:
+            import re
+            from urllib.parse import unquote, urlparse
+            counts = (out.withColumn("f", F.input_file_name())
+                      .groupBy("f").agg(F.count("*").alias("rows")).collect())
+            rows = []
+            for r in sorted(counts, key=lambda r: r.f):
+                path = unquote(urlparse(r.f).path)
+                m = re.search(r"part-(\d+)-", os.path.basename(path))
+                pid = int(m.group(1)) if m else len(rows)
+                rows.append((stage, fingerprint, pid, r.rows,
+                             os.path.getsize(path), now))
+            if not rows:  # empty output: one zero-row marker partition
+                rows = [(stage, fingerprint, 0, 0, 0, now)]
+            (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+             .write.mode("append").parquet(self._dir(stage)))
+            return
         counts = (out
                   .withColumn("partition_id", F.spark_partition_id())
                   .groupBy("partition_id")
                   .agg(F.count("*").alias("rows")))
-        now = time.time()
-        rows = (counts.select(
+        est = (counts.select(
             F.lit(stage).alias("stage"),
             F.lit(fingerprint).alias("input_fingerprint"),
             "partition_id", "rows",
-            (F.col("rows") * 64).alias("bytes"),  # est.; real writers patch this
+            (F.col("rows") * 64).alias("bytes"),  # estimate (no files yet)
             F.lit(now).alias("completed_at")))
-        rows.write.mode("append").parquet(self._dir(stage))
+        est.write.mode("append").parquet(self._dir(stage))
 
     def output_dir(self, stage: str, fingerprint: str) -> str:
         return os.path.join(self.root, f"out_stage={stage}",
@@ -102,5 +127,5 @@ def run_stage(store: LineageStore, stage: str, fingerprint: str,
     df = build()
     df.write.mode("overwrite").parquet(out_dir)
     materialized = store.spark.read.parquet(out_dir)
-    store.record(stage, fingerprint, materialized)
+    store.record(stage, fingerprint, materialized, out_dir=out_dir)
     return materialized, False

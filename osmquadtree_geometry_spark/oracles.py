@@ -208,9 +208,10 @@ GROUP BY way_id HAVING {agg} IS NOT NULL""")
 SELECT * FROM ({union}) ORDER BY way_id, target_key"""
 
 
-def q_parent_tags(docs_path: str, style: GeometryStyle) -> str:
-    """Node-level parent tags (J3) — one row per (node, spec_key);
-    tie-break (priority DESC, value DESC) as documented."""
+def _parent_tag_union(style: GeometryStyle) -> str:
+    """UNION ALL producing (node_id, spec_key, val) parent-tag rows
+    (shared by q_parent_tags and the geojson oracles, whose props
+    include the J3-merged tags)."""
     parts = []
     for spec_key, sp in style.parent_tags.items():
         nkeys = ", ".join(_lit(k) for k in sp.node_keys)
@@ -231,9 +232,14 @@ FROM (
                 AND nt.id = wr.ref AND nt.k IN ({nkeys}))
 ) t WHERE prio IS NOT NULL
 GROUP BY node_id""")
-    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return " UNION ALL ".join(f"({p})" for p in parts)
+
+
+def q_parent_tags(docs_path: str, style: GeometryStyle) -> str:
+    """Node-level parent tags (J3) — one row per (node, spec_key);
+    tie-break (priority DESC, value DESC) as documented."""
     return f"""WITH {base_ctes(docs_path)}
-SELECT * FROM ({union}) ORDER BY node_id, spec_key"""
+SELECT * FROM ({_parent_tag_union(style)}) ORDER BY node_id, spec_key"""
 
 
 def q_minzoom_points(docs_path: str, style: GeometryStyle,
@@ -376,6 +382,130 @@ SELECT DISTINCT m.doc_id AS doc_id, m.tile AS tile,
 FROM mc m JOIN fz f
   ON (({dm}) <= ({df}) AND {r_f_at_m} = m.tile_cell)
   OR (({df}) <= ({dm}) AND {r_m_at_f} = f.quadtree)"""
+
+
+def _tag_keep_cond(style: GeometryStyle, t: str = "tg") -> str:
+    """DuckDB mirror of style.sql_filter_tags' keep-set."""
+    conds = []
+    if style.other_keys is not None:
+        keep = sorted(set(style.feature_keys) | set(style.other_keys))
+        conds.append(f"{t}.k IN ({', '.join(_lit(k) for k in keep)})")
+    drops = [d for d in style.drop_keys if not d.endswith(":")]
+    if drops:
+        conds.append(f"NOT {t}.k IN ({', '.join(_lit(d) for d in drops)})")
+    for p in (d for d in style.drop_keys if d.endswith(":")):
+        conds.append(f"NOT starts_with({t}.k, {_lit(p)})")
+    return " AND ".join(conds) if conds else "true"
+
+
+def _dd_deg(col: str) -> str:
+    """Fixed 7-decimal degree string (mirror of sinks._deg_str)."""
+    return (f"concat(CASE WHEN ({col}) < 0 THEN '-' ELSE '' END, "
+            f"cast(abs({col}) // 10000000 AS varchar), '.', "
+            f"lpad(cast(abs({col}) % 10000000 AS varchar), 7, '0'))")
+
+
+def _geojson_point_feature(style: GeometryStyle) -> str:
+    """Feature-JSON string for one node row ``nd`` (filtered own tags
+    merged with J3 parent tags from the ``ptag`` CTE, sorted keys, 7dp
+    point coords) — byte-identical to
+    sinks.geojson_feature_expr('point') over the pipeline's points."""
+    own = (f"SELECT tg.k AS k, tg.v AS v FROM tg "
+           f"WHERE tg.elem = 'node' AND tg.id = nd.id")
+    if style.parent_tags:
+        own += (" UNION ALL SELECT pt.spec_key AS k, pt.val AS v "
+                "FROM ptag pt WHERE pt.node_id = nd.id")
+    props = (f"coalesce('{{' || (SELECT string_agg("
+             f"'\"' || u.k || '\":\"' || u.v || '\"', ',' ORDER BY u.k) "
+             f"FROM ({own}) u WHERE {_tag_keep_cond(style, 'u')}) "
+             f"|| '}}', '{{}}')")
+    return (f"'{{\"type\":\"Feature\",\"id\":' || nd.id || "
+            f"',\"properties\":' || {props} || "
+            f"',\"geometry\":{{\"type\":\"Point\",\"coordinates\":[' || "
+            f"{_dd_deg('nd.lon')} || ',' || {_dd_deg('nd.lat')} || ']}}}}'")
+
+
+def _ptag_cte(style: GeometryStyle) -> str:
+    if not style.parent_tags:
+        return "ptag AS (SELECT NULL AS node_id, NULL AS spec_key, NULL AS val WHERE false)"
+    return f"ptag AS ({_parent_tag_union(style)})"
+
+
+def q_geojson_points(docs_path: str, style: GeometryStyle) -> str:
+    return f"""WITH {base_ctes(docs_path)}, {_ptag_cte(style)}
+SELECT nd.id AS id, {_geojson_point_feature(style)} AS feature
+FROM nd WHERE {feature_exists(style, 'node', 'nd.id')}"""
+
+
+def q_geojson_tiles(docs_path: str, style: GeometryStyle,
+                    spec: MinZoomSpec, group_depth: int = 8) -> str:
+    """Per-tile FeatureCollection blocks over the allocated feature
+    points (S6 per-tile writer, `process_geometry.rs:343-388`)."""
+    qt = sql_point_qt("nd.lon", "nd.lat")
+    d = str(group_depth)
+    r8 = sql_round_qt("fz.quadtree", d)
+    return f"""WITH {base_ctes(docs_path)}, {_ptag_cte(style)}, {_fz_cte(style, spec)},
+dict AS (SELECT DISTINCT {sql_round_qt('q0', d)} AS tile
+         FROM (SELECT {qt} AS q0 FROM nd)),
+pf AS (SELECT CASE WHEN {sql_qt_depth('fz.quadtree')} >= {group_depth}
+                    AND {r8} IN (SELECT tile FROM dict)
+                   THEN {r8} ELSE -1 END AS tile,
+              nd.id AS id, {_geojson_point_feature(style)} AS feature
+       FROM fz JOIN nd ON nd.id = fz.id)
+SELECT tile, count(*) AS n_features,
+       '{{"type":"FeatureCollection","features":[' ||
+       string_agg(feature, ',' ORDER BY id) || ']}}' AS collection
+FROM pf GROUP BY tile"""
+
+
+def q_lsh_ann(k: int = 10, n_queries: int = 5, n_planes: int = 3,
+              n_tables: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Mirror of similarity.lsh_ann_topk with the SAME seeded
+    hyperplanes spliced in as literals and the SAME left-to-right
+    float summation order (sign of a projection near zero must not
+    flip between engines)."""
+    from .similarity import _hyperplanes
+
+    def chain(terms) -> str:
+        return " + ".join(terms)
+
+    def proj(vec: str, plane) -> str:
+        return chain(f"({vec}[{j + 1}]::DOUBLE * {float(c)!r})"
+                     for j, c in enumerate(plane))
+
+    def bucket(vec: str, planes) -> str:
+        bits = [f"(CASE WHEN ({proj(vec, p)}) > 0 THEN {1 << i} ELSE 0 END)"
+                for i, p in enumerate(planes)]
+        return "(" + chain(bits) + ")::bigint"
+
+    e_parts, q_parts = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        e_parts.append(f"SELECT vec_id, {t} AS tab, "
+                       f"{bucket('embedding', planes)} AS bucket FROM embeddings")
+        q_parts.append(f"SELECT query_id, {t} AS tab, "
+                       f"{bucket('qe', planes)} AS bucket FROM q")
+    dot = chain(f"(q.qe[{j + 1}]::DOUBLE * e.embedding[{j + 1}]::DOUBLE)"
+                for j in range(dim))
+    nq = chain(f"(q.qe[{j + 1}]::DOUBLE * q.qe[{j + 1}]::DOUBLE)"
+               for j in range(dim))
+    ne = chain(f"(e.embedding[{j + 1}]::DOUBLE * e.embedding[{j + 1}]::DOUBLE)"
+               for j in range(dim))
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT {n_queries}),
+eb AS ({' UNION ALL '.join(e_parts)}),
+qb AS ({' UNION ALL '.join(q_parts)}),
+cand AS (SELECT DISTINCT qb.query_id, eb.vec_id
+         FROM qb JOIN eb ON qb.tab = eb.tab AND qb.bucket = eb.bucket
+         WHERE eb.vec_id <> qb.query_id),
+scored AS (SELECT c.query_id, c.vec_id,
+                  round(({dot}) / (sqrt({nq}) * sqrt({ne})), 6) AS cosine
+           FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+           JOIN q ON q.query_id = c.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}"""
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,8 @@ def lsh_ann_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     ``n_tables`` hash tables; exact cosine re-rank on candidates.
     Shuffle is an equi-join on (table, bucket) — no cross product."""
     if dim is None:
+        # driver-side probe only when the caller didn't declare the
+        # dimension (prefer passing dim — keeps the plan fully lazy)
         dim = len(emb.select("embedding").first()[0])
     tabs = []
     for t in range(n_tables):

@@ -245,6 +245,15 @@ def test_lineage_resume(spark, tmp_path, docs_path):
     # different fingerprint -> recompute
     out3, resumed3 = run_stage(store, "decode", "otherfp", build)
     assert not resumed3 and len(calls) == 2
+    # bytes are REAL on-disk sizes of the stage's parquet output
+    # (north rule: per-partition row/byte metrics), not an estimate
+    import glob
+    import os as _os
+    out_dir = store.output_dir("decode", fp)
+    disk = sum(_os.path.getsize(f)
+               for f in glob.glob(_os.path.join(out_dir, "part-*")))
+    rec = lin.agg(F.sum("bytes")).first()[0]
+    assert rec == disk and disk > 0
 
 
 # ---------------------------------------------------------------------------

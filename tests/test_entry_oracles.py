@@ -60,6 +60,8 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "pip_join": oracles.q_pip_join(docs, style),
         "knn_join": oracles.q_knn_join(docs, style, k=3),
         "raster_vector": oracles.q_raster_vector(docs, style, mz),
+        "geojson_points": oracles.q_geojson_points(docs, style),
+        "geojson_tiles": oracles.q_geojson_tiles(docs, style, mz),
     })
     return out
 
@@ -83,6 +85,7 @@ ORACLE_QUERIES = [
     "fingerprint", "embedding_topk", "events_rollup", "sessionize",
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "quality_score",
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
+    "geojson_points", "geojson_tiles", "lsh_ann",
 ]
 
 
@@ -100,8 +103,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 
 ROWS_ONLY_QUERIES = [
     "multipolygons", "assembly_errors", "clip_lines",
-    "geojson_points", "lsh_ann", "multimodal_features",
-    "lowzoom_lines", "polygon_validity",
+    "multimodal_features", "lowzoom_lines", "polygon_validity",
 ]
 
 

@@ -63,23 +63,134 @@ def test_sorted_write(res, tmp_path, spark):
         assert keys == sorted(keys)
 
 
-def test_route_tables(res):
+def test_route_tables_extended_alloc_matrix(res):
+    """Pin the reference alloc matrix (`postgresqloptions.rs:103-129`
+    extended_alloc): every feature lands in exactly the reference's
+    table set."""
     routed = sinks.route_tables(res.points, res.linestrings,
                                 res.simple_polygons,
                                 res.complicated_polygons, extended=True)
     assert set(routed) == {"planet_osm_point", "planet_osm_line",
-                           "planet_osm_polygon", "planet_osm_roads",
-                           "planet_osm_building"}
-    # multipolygon ids are negated in the polygon table (flip_id)
-    poly_ids = {r.id for r in routed["planet_osm_polygon"]
-                .select("id").collect()}
-    build_ids = {r.id for r in routed["planet_osm_building"]
-                 .select("id").collect()}
-    cp_ids = {r.id for r in res.complicated_polygons.select("id").collect()}
-    assert any(-i in (poly_ids | build_ids) for i in cp_ids)
-    # roads = z_order >= 200 lines only
-    for r in routed["planet_osm_roads"].select("z_order").collect():
-        assert r.z_order >= 200
+                           "planet_osm_polygon", "planet_osm_highway",
+                           "planet_osm_building", "planet_osm_boundary"}
+    got = {}
+    for t, df in routed.items():
+        if "z_order" in df.columns:
+            got[t] = {(r.id, r.z_order, tuple(sorted(r.tags.items())))
+                      for r in df.select("id", "z_order", "tags").collect()}
+        else:  # points carry no z_order
+            got[t] = {(r.id, None, tuple(sorted(r.tags.items())))
+                      for r in df.select("id", "tags").collect()}
+
+    # linestrings: Some(z_order) -> highway ONLY, else line ONLY
+    for r in res.linestrings.select("id", "z_order", "tags").collect():
+        key = (r.id, r.z_order, tuple(sorted(r.tags.items())))
+        if r.z_order is not None:
+            assert key in got["planet_osm_highway"]
+            assert key not in got["planet_osm_line"]
+        else:
+            assert key in got["planet_osm_line"]
+            assert key not in got["planet_osm_highway"]
+    # simple polygons: building != 'no' -> building ONLY, else polygon
+    for r in res.simple_polygons.select("id", "z_order", "tags").collect():
+        key = (r.id, r.z_order, tuple(sorted(r.tags.items())))
+        if r.tags.get("building", "no") != "no":
+            assert key in got["planet_osm_building"]
+            assert key not in got["planet_osm_polygon"]
+        else:
+            assert key in got["planet_osm_polygon"]
+    # complicated polygons: id flipped; boundary -> polygon AND boundary
+    for r in res.complicated_polygons.select("id", "z_order", "tags").collect():
+        key = (-r.id, r.z_order, tuple(sorted(r.tags.items())))
+        if r.tags.get("building", "no") != "no":
+            assert key in got["planet_osm_building"]
+        elif r.tags.get("type") == "boundary":
+            assert key in got["planet_osm_polygon"]
+            assert key in got["planet_osm_boundary"]
+        else:
+            assert key in got["planet_osm_polygon"]
+            assert key not in got["planet_osm_boundary"]
+    # the fixture exercises the highway split (boundary relations are
+    # covered by the synthetic matrix test below)
+    assert got["planet_osm_highway"]
+
+
+def test_route_tables_synthetic_matrix(spark):
+    """Every row of the reference alloc matrix on hand-built rows,
+    including the cases the scene fixtures don't produce (building:
+    'no', type=boundary double-write)."""
+    schema = ("doc_id string, id long, tags map<string,string>, "
+              "z_order long, layer long, minzoom long, quadtree long, "
+              "area double")
+    def mk(rows):
+        return spark.createDataFrame(
+            [("d", i, t, z, None, None, 18, 1.0) for i, t, z in rows], schema)
+    pts = mk([(1, {"amenity": "pub"}, None)])
+    lines = mk([(2, {"highway": "primary"}, 330),
+                (3, {"waterway": "stream"}, None)])
+    sps = mk([(4, {"building": "yes"}, None),
+              (5, {"building": "no", "landuse": "grass"}, None),
+              (6, {"landuse": "grass"}, None)])
+    cps = mk([(7, {"building": "house", "type": "multipolygon"}, None),
+              (8, {"type": "boundary", "boundary": "administrative"}, None),
+              (9, {"type": "multipolygon", "natural": "water"}, None)])
+    routed = sinks.route_tables(pts, lines, sps, cps, extended=True)
+    ids = {t: {r.id for r in df.select("id").collect()}
+           for t, df in routed.items()}
+    assert ids["planet_osm_point"] == {1}
+    assert ids["planet_osm_highway"] == {2}      # Some(z_order) -> highway only
+    assert ids["planet_osm_line"] == {3}
+    assert ids["planet_osm_building"] == {4, -7}  # building != 'no'
+    # building:'no' stays a plain polygon; boundary double-writes
+    assert ids["planet_osm_polygon"] == {5, 6, -8, -9}
+    assert ids["planet_osm_boundary"] == {-8}
+
+
+def test_pack_tag_columns(res):
+    """G15: style-driven dedicated text columns + hstore-style
+    catch-all map (`prepcopy.rs:238-290`, `tablespec.rs:625-702`)."""
+    from osmquadtree_geometry_spark.config.style import GeometryStyle
+    style = GeometryStyle()
+    cols = sinks.table_tag_columns(style)
+    assert "name" in cols["point"] and "name" in cols["line"]
+    # parent-tag keys appended to point, relation targets to line only
+    for pk in style.parent_tags:
+        assert pk in cols["point"] and pk not in cols["polygon"]
+    for rs in style.relation_tag_spec:
+        assert rs.target_key in cols["line"]
+        assert rs.target_key not in cols["polygon"]
+    packed = sinks.pack_tag_columns(res.points, cols["point"])
+    rows = {r.osm_id: r for r in packed.collect()}
+    orig = {r.id: r.tags for r in res.points.select("id", "tags").collect()}
+    colset = set(cols["point"])
+    for oid, r in rows.items():
+        tags = orig[oid]
+        for k, v in tags.items():
+            if k in colset:
+                assert getattr(r, k) == v      # dedicated column
+                assert k not in r.tags         # not duplicated in hstore
+            else:
+                assert r.tags[k] == v          # catch-all map
+    assert "osm_id" in packed.columns and "quadtree" in packed.columns
+
+
+def test_geojson_tile_blocks(res, tmp_path):
+    blocks = {r.tile: r for r in
+              sinks.geojson_tile_blocks(res.points, "point").collect()}
+    assert len(blocks) > 1
+    total = sum(r.n_features for r in blocks.values())
+    assert total == res.points.count()
+    for r in list(blocks.values())[:5]:
+        fc = json.loads(r.collection)
+        assert fc["type"] == "FeatureCollection"
+        assert len(fc["features"]) == r.n_features
+        ids = [f["id"] for f in fc["features"]]
+        assert ids == sorted(ids)
+    # distributed per-tile writer: one directory per tile
+    out = str(tmp_path / "gj_tiles")
+    sinks.write_geojson_tiles(res.points, "point", out)
+    dirs = [d for d in os.listdir(out) if d.startswith("tile=")]
+    assert len(dirs) == len(blocks)
 
 
 def test_ddl():
