@@ -44,25 +44,46 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def _tags_for(spans: DataFrame, elem: str) -> DataFrame:
-    """(doc_id, id, tags map) for one element kind; keys sorted for
-    deterministic map iteration order."""
-    # tag text: elem=..;id=..;k=..;v=..  (v extracted by offset so it
-    # may contain any characters incl. '=' and ';')
-    t = (spans.where((F.col("kind") == "tag")
-                     & (F.expr(_field(1)) == elem))
-         .select(F.expr(_field(2)).cast("long").alias("id"),
+def decode_tags(spans: DataFrame) -> DataFrame:
+    """(id, node_tags, way_tags, rel_tags): ALL tag maps in ONE
+    id-keyed shuffle (round-2 scaling lever — round 1 ran three
+    separate groupBys over the tag spans, three passes + three shuffle
+    writes).  collect_list skips the NULLs the per-elem CASE produces,
+    so each map holds only its kind's tags; keys sorted for
+    deterministic map iteration order.  The id-keyed output is
+    co-partitioned with every downstream (nodes/ways/relations) join.
+
+    tag text: elem=..;id=..;k=..;v=..  (v extracted by offset so it
+    may contain any characters incl. '=' and ';')"""
+    t = (spans.where(F.col("kind") == "tag")
+         .select(F.expr(_field(1)).alias("elem"),
+                 F.expr(_field(2)).cast("long").alias("id"),
                  F.expr(_field(3)).alias("k"),
-                 F.expr("substring(text, locate(';v=', text) + 3)").alias("v")))
-    # entity ids are globally unique (OSM id space) — keying shuffles
-    # by the bare long instead of (doc_id string, id) measured ~10x
-    # faster joins at 440k docs
-    return (t.groupBy("id")
-            .agg(F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("k", "v")))).alias("tags")))
+                 F.expr("substring(text, locate(';v=', text) + 3)").alias("v"))
+         .where(F.col("id").isNotNull()))
+
+    def m(elem: str):
+        return F.map_from_entries(F.array_sort(F.collect_list(
+            F.when(F.col("elem") == elem, F.struct("k", "v")))))
+
+    return t.groupBy("id").agg(m("node").alias("node_tags"),
+                               m("way").alias("way_tags"),
+                               m("rel").alias("rel_tags"))
 
 
-def decode_nodes(spans: DataFrame) -> DataFrame:
+def _tags_for(spans: DataFrame, elem: str,
+              tags_all: DataFrame | None = None) -> DataFrame:
+    """(id, tags map) for one element kind, served from the fused
+    ``decode_tags`` table (built ad hoc when not supplied)."""
+    if tags_all is None:
+        tags_all = decode_tags(spans)
+    col = {"node": "node_tags", "way": "way_tags", "rel": "rel_tags"}[elem]
+    return (tags_all.select("id", F.col(col).alias("tags"))
+            .where(F.size("tags") > 0))
+
+
+def decode_nodes(spans: DataFrame,
+                 tags_all: DataFrame | None = None) -> DataFrame:
     """nodes(doc_id, id, lon, lat, tags, quadtree) — quadtree is the
     z18 point cell (`Quadtree::calculate_point`), computed with the
     pure-SQL kernel so it stays inside whole-stage codegen."""
@@ -75,13 +96,14 @@ def decode_nodes(spans: DataFrame) -> DataFrame:
          # a null-id node with a spurious quadtree
          .where(F.col("id").isNotNull() & F.col("lon").isNotNull()
                 & F.col("lat").isNotNull()))
-    tags = _tags_for(spans, "node")
+    tags = _tags_for(spans, "node", tags_all)
     out = (n.join(tags, ["id"], "left")
            .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
     return with_point_qt(out, "lon", "lat")
 
 
-def decode_ways(spans: DataFrame) -> DataFrame:
+def decode_ways(spans: DataFrame,
+                tags_all: DataFrame | None = None) -> DataFrame:
     """ways(doc_id, id, refs, tags)."""
     w = (spans.where(F.col("kind") == "way_ref")
          .select("doc_id",
@@ -95,12 +117,13 @@ def decode_ways(spans: DataFrame) -> DataFrame:
                  F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "ref"))),
                      lambda x: x["ref"]).alias("refs")))
-    tags = _tags_for(spans, "way")
+    tags = _tags_for(spans, "way", tags_all)
     return (refs.join(tags, ["id"], "left")
             .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
 
 
-def decode_relations(spans: DataFrame) -> DataFrame:
+def decode_relations(spans: DataFrame,
+                     tags_all: DataFrame | None = None) -> DataFrame:
     """relations(doc_id, id, members array<struct<mem_type,mem_ref,role>>, tags)."""
     r = (spans.where(F.col("kind") == "rel_member")
          .select("doc_id",
@@ -117,7 +140,7 @@ def decode_relations(spans: DataFrame) -> DataFrame:
                    lambda x: F.struct(x["mem_type"].alias("mem_type"),
                                       x["mem_ref"].alias("mem_ref"),
                                       x["role"].alias("role"))).alias("members")))
-    tags = _tags_for(spans, "rel")
+    tags = _tags_for(spans, "rel", tags_all)
     return (members.join(tags, ["id"], "left")
             .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
 
@@ -135,11 +158,13 @@ def decode_media(spans: DataFrame) -> DataFrame:
 
 def decode_all(docs: DataFrame) -> dict[str, DataFrame]:
     spans = explode_spans(docs)
+    tags_all = decode_tags(spans)
     return {
         "spans": spans,
-        "nodes": decode_nodes(spans),
-        "ways": decode_ways(spans),
-        "relations": decode_relations(spans),
+        "tags_all": tags_all,
+        "nodes": decode_nodes(spans, tags_all),
+        "ways": decode_ways(spans, tags_all),
+        "relations": decode_relations(spans, tags_all),
         "media": decode_media(spans),
     }
 

@@ -1,0 +1,213 @@
+"""PostgreSQL binary COPY encoding + file sink (S9/S10).
+
+Re-derivation of the reference's COPY layer
+(`/root/reference/src/postgresql/prepcopy.rs:40-77,238-290,695-745`,
+`writepostgresql.rs` CopyFilePrfx/CopyFileBlob connections): each
+output table's rows are serialized to the PostgreSQL binary COPY wire
+format (`COPY ... FROM ... WITH (FORMAT binary)`), either returned as
+a binary column or written as one ``.copy`` file per partition.
+
+Wire format (PostgreSQL docs, "Binary Format"):
+  header   = b"PGCOPY\\n\\xff\\r\\n\\0" + int32 flags(0) + int32 extlen(0)
+  row      = int16 n_fields, then per field int32 byte-length (-1 for
+             NULL) + payload
+  trailer  = int16 -1
+Typed payloads: int8 (big-endian i64), float8, bool, text (UTF-8),
+bytea (raw — EWKB geometry goes through here), hstore (int32 npairs,
+then per pair int32 keylen+key, int32 vallen(-1 null)+val — the
+hstore_send layout `prepcopy.rs:695-745`).
+
+Scale shape: encoding is an Arrow-batched ``mapInPandas`` (the export
+boundary is inherently row-serial byte packing; everything upstream
+stays JVM-side), and the file sink writes one file per partition from
+the executors — no driver collect at any size.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+HEADER = b"PGCOPY\n\xff\r\n\x00" + struct.pack(">ii", 0, 0)
+TRAILER = struct.pack(">h", -1)
+NULL = struct.pack(">i", -1)
+
+
+def _enc_int8(v) -> bytes:
+    return struct.pack(">iq", 8, int(v))
+
+
+def _enc_float8(v) -> bytes:
+    return struct.pack(">id", 8, float(v))
+
+
+def _enc_bool(v) -> bytes:
+    return struct.pack(">ib", 1, 1 if v else 0)
+
+
+def _enc_text(v) -> bytes:
+    b = str(v).encode("utf-8")
+    return struct.pack(">i", len(b)) + b
+
+
+def _enc_bytea(v) -> bytes:
+    b = bytes(v)
+    return struct.pack(">i", len(b)) + b
+
+
+def _enc_hstore(d) -> bytes:
+    items = sorted(d.items())
+    parts = [struct.pack(">i", len(items))]
+    for k, v in items:
+        kb = str(k).encode("utf-8")
+        parts.append(struct.pack(">i", len(kb)) + kb)
+        if v is None:
+            parts.append(NULL)
+        else:
+            vb = str(v).encode("utf-8")
+            parts.append(struct.pack(">i", len(vb)) + vb)
+    payload = b"".join(parts)
+    return struct.pack(">i", len(payload)) + payload
+
+
+_ENCODERS = {
+    "int8": _enc_int8,
+    "float8": _enc_float8,
+    "bool": _enc_bool,
+    "text": _enc_text,
+    "bytea": _enc_bytea,
+    "hstore": _enc_hstore,
+}
+
+
+def copy_columns_for(df: DataFrame) -> list[tuple[str, str]]:
+    """(column, pg kind) per field, from the Spark schema — the packed
+    tables (sinks.pack_tag_columns) map 1:1: long->int8, string->text,
+    map->hstore, binary->bytea (EWKB), double->float8, bool->bool."""
+    out = []
+    for f in df.schema.fields:
+        t = f.dataType
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType)):
+            kind = "int8"
+        elif isinstance(t, T.StringType):
+            kind = "text"
+        elif isinstance(t, T.MapType):
+            kind = "hstore"
+        elif isinstance(t, T.BinaryType):
+            kind = "bytea"
+        elif isinstance(t, (T.DoubleType, T.FloatType)):
+            kind = "float8"
+        elif isinstance(t, T.BooleanType):
+            kind = "bool"
+        else:
+            raise TypeError(f"no COPY encoding for column {f.name}: {t}")
+        out.append((f.name, kind))
+    return out
+
+
+def encode_copy_rows(df: DataFrame,
+                     columns: list[tuple[str, str]] | None = None) -> DataFrame:
+    """One binary COPY row per input row (column ``copy_row``)."""
+    import pandas as pd
+    cols = columns or copy_columns_for(df)
+    names = [c for c, _ in cols]
+    encs = [_ENCODERS[k] for _, k in cols]
+    nf = struct.pack(">h", len(cols))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf[names].itertuples(index=False):
+                fields = []
+                for enc, v in zip(encs, r):
+                    isnull = v is None or (isinstance(v, float) and v != v)
+                    fields.append(NULL if isnull else enc(v))
+                out.append(nf + b"".join(fields))
+            yield pd.DataFrame({"copy_row": out})
+
+    return df.select(*names).mapInPandas(run, "copy_row binary")
+
+
+def write_pgcopy(df: DataFrame, out_dir: str,
+                 columns: list[tuple[str, str]] | None = None) -> None:
+    """COPY-to-file sink (CopyFilePrfx, `writepostgresql.rs:415-420`):
+    one ``part-XXXXX.copy`` per partition, each a complete binary COPY
+    payload (header + rows + trailer), written executor-side.
+    ``out_dir`` must be a shared filesystem on a real cluster."""
+    os.makedirs(out_dir, exist_ok=True)
+    enc = encode_copy_rows(df, columns)
+
+    def write_part(rows) -> None:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.copy")
+        with open(path, "wb") as f:
+            f.write(HEADER)
+            for r in rows:
+                f.write(r.copy_row)
+            f.write(TRAILER)
+
+    enc.foreachPartition(write_part)
+
+
+def copy_sql(table: str, columns: list[tuple[str, str]],
+             schema: str = "public") -> str:
+    """The COPY statement a loader would run against the .copy files."""
+    collist = ", ".join(f'"{c}"' for c, _ in columns)
+    return (f'COPY {schema}.{table} ({collist}) '
+            f"FROM STDIN WITH (FORMAT binary)")
+
+
+def parse_copy_payload(data: bytes,
+                       columns: list[tuple[str, str]]) -> list[list]:
+    """Reference decoder for tests: parse a binary COPY payload back
+    into python values (inverse of the encoders above)."""
+    assert data[:19] == HEADER, "bad COPY header"
+    pos = 19
+    rows = []
+    while True:
+        (n,) = struct.unpack_from(">h", data, pos)
+        pos += 2
+        if n == -1:
+            break
+        vals = []
+        for _, kind in columns:
+            (ln,) = struct.unpack_from(">i", data, pos)
+            pos += 4
+            if ln == -1:
+                vals.append(None)
+                continue
+            raw = data[pos:pos + ln]
+            pos += ln
+            if kind == "int8":
+                vals.append(struct.unpack(">q", raw)[0])
+            elif kind == "float8":
+                vals.append(struct.unpack(">d", raw)[0])
+            elif kind == "bool":
+                vals.append(raw == b"\x01")
+            elif kind == "text":
+                vals.append(raw.decode("utf-8"))
+            elif kind == "bytea":
+                vals.append(raw)
+            elif kind == "hstore":
+                (np_,) = struct.unpack(">i", raw[:4])
+                p, d = 4, {}
+                for _ in range(np_):
+                    (kl,) = struct.unpack_from(">i", raw, p)
+                    p += 4
+                    k = raw[p:p + kl].decode("utf-8")
+                    p += kl
+                    (vl,) = struct.unpack_from(">i", raw, p)
+                    p += 4
+                    if vl == -1:
+                        d[k] = None
+                    else:
+                        d[k] = raw[p:p + vl].decode("utf-8")
+                        p += vl
+                vals.append(d)
+        rows.append(vals)
+    assert pos == len(data), "trailing bytes after COPY trailer"
+    return rows

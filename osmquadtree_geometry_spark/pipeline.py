@@ -57,6 +57,11 @@ def run_pipeline(spark: SparkSession, docs_path: str,
     if persist:
         # one parse of the span stream feeds 8+ downstream groupBys
         t["spans"] = t["spans"].persist()
+        # the fused tag table (ONE shuffle for node/way/rel tags) is
+        # read by three branches — persist so the shuffle runs once
+        # (cache matches by logical plan, so the nodes/ways/relations
+        # built in decode_all hit it)
+        t["tags_all"] = t["tags_all"].persist()
     nodes, ways, relations = t["nodes"], t["ways"], t["relations"]
     if persist:
         # the decoded tables feed several downstream branches (points +

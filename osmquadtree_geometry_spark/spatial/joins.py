@@ -71,52 +71,60 @@ _MERC_Y = f"round(ln(tan(pi()/4.0 + radians((%s) * 1e-7)/2.0)) / pi() * {EARTH_W
 
 
 def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
-                          cell_depth: int = 10, salt: int = 4) -> DataFrame:
+                          cell_depth: int = 10,
+                          max_points_per_row: int = 4096) -> DataFrame:
     """(point_id, polygon_id) pairs where the point lies inside the
     polygon's outer ring (pnpoly, `position.rs:284-326`).
 
-    Scale shape: polygons expand to covering cells (bounded fan-out)
-    × ``salt`` copies; points map to their single (cell, salt-of-id)
-    bucket; COGROUP on (cell, salt) runs one vectorized pnpoly kernel
-    per (polygon, bucket).  Rows stay bounded: a bucket holds at most
-    points_in_cell / salt points — never the round-1 shape that packed
-    a whole city's points into one collect_list row.  No trailing
-    distinct: each point belongs to exactly one bucket and each
-    polygon appears once per bucket."""
+    Scale shape: polygons expand to covering cells (bounded fan-out);
+    points pack into (cell, bucket) array rows where the bucket count
+    scales with the cell's point count, so NO row ever holds more than
+    ~``max_points_per_row`` points (round 1 packed a whole city cell
+    into one unbounded collect_list row); equi-join on cell; one
+    vectorized pnpoly kernel per (polygon, bucket) row via
+    ``mapInPandas`` (Arrow batches many kernel rows per invocation —
+    no per-group pandas overhead).  The three point-side stages (count
+    agg, count join, pack agg) share one hash-partitioning on cell.
+    No trailing distinct: a point lives in exactly one bucket and each
+    polygon meets each bucket once."""
     poly = (polygons.select(F.col("id").alias("polygon_id"), "lonlats",
                             *[F.expr(v).alias(k) for k, v in _BBOX.items()])
             .withColumn("cell", F.explode(cover_cells_udf(
                 "minlon", "minlat", "maxlon", "maxlat", F.lit(cell_depth))))
-            .withColumn("psalt", F.explode(F.expr(
-                f"sequence(0, {salt - 1})")))
-            .select("polygon_id", "lonlats", "cell", "psalt"))
+            .select("polygon_id", "lonlats", "cell"))
     pts = (points.select(F.col("id").alias("point_id"), "lon", "lat")
-           .withColumn("cell", _cell_at("lon", "lat", cell_depth))
-           .withColumn("psalt", F.pmod(F.col("point_id"), F.lit(salt))
-                       .cast("int")))
+           .withColumn("cell", _cell_at("lon", "lat", cell_depth)))
+    cnt = pts.groupBy("cell").agg(F.count("*").alias("n_in_cell"))
+    pts_b = (pts.join(cnt, "cell")
+             .withColumn("pbucket", F.pmod(
+                 F.hash("point_id"),
+                 F.expr(f"greatest(cast(ceil(n_in_cell / {max_points_per_row}) "
+                        f"as int), 1)")).cast("int")))
+    packed = (pts_b.groupBy("cell", "pbucket")
+              .agg(F.collect_list(F.struct("point_id", "lon", "lat"))
+                   .alias("pts")))
+    j = poly.join(packed, "cell").select("polygon_id", "lonlats", "pts")
 
-    def check(_key, pts_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+    def check(batches):
         import numpy as np
-        if len(pts_pdf) == 0 or len(poly_pdf) == 0:
-            return pd.DataFrame({"point_id": pd.Series([], dtype="int64"),
-                                 "polygon_id": pd.Series([], dtype="int64")})
-        plon = pts_pdf["lon"].to_numpy(np.int64)
-        plat = pts_pdf["lat"].to_numpy(np.int64)
-        pid = pts_pdf["point_id"].to_numpy(np.int64)
-        out_pt, out_pg = [], []
-        for r in poly_pdf.itertuples():
-            rlon = np.fromiter((p["lon"] for p in r.lonlats), np.int64)
-            rlat = np.fromiter((p["lat"] for p in r.lonlats), np.int64)
-            inside = geomcalc.points_in_ring(rlon, rlat, plon, plat)
-            hit = pid[inside]
-            out_pt.append(hit)
-            out_pg.append(np.full(len(hit), r.polygon_id, np.int64))
-        return pd.DataFrame({"point_id": np.concatenate(out_pt),
-                             "polygon_id": np.concatenate(out_pg)})
+        for pdf in batches:
+            out_pt, out_pg = [], []
+            for r in pdf.itertuples():
+                rlon = np.fromiter((p["lon"] for p in r.lonlats), np.int64)
+                rlat = np.fromiter((p["lat"] for p in r.lonlats), np.int64)
+                plon = np.fromiter((p["lon"] for p in r.pts), np.int64)
+                plat = np.fromiter((p["lat"] for p in r.pts), np.int64)
+                pid = np.fromiter((p["point_id"] for p in r.pts), np.int64)
+                inside = geomcalc.points_in_ring(rlon, rlat, plon, plat)
+                hit = pid[inside]
+                out_pt.append(hit)
+                out_pg.append(np.full(len(hit), r.polygon_id, np.int64))
+            if out_pt:
+                yield pd.DataFrame({
+                    "point_id": np.concatenate(out_pt),
+                    "polygon_id": np.concatenate(out_pg)})
 
-    return (pts.groupBy("cell", "psalt")
-            .cogroup(poly.groupBy("cell", "psalt"))
-            .applyInPandas(check, "point_id long, polygon_id long"))
+    return j.mapInPandas(check, "point_id long, polygon_id long")
 
 
 _KNN_DIST = (f"sqrt(power({_MERC_X % 'qlon'} - {_MERC_X % 'lon'}, 2) + "
@@ -176,7 +184,9 @@ def knn_join(query_points: DataFrame, target_points: DataFrame, k: int = 5,
     qc = q0.withColumn("cell", F.explode(ring_cells("qlon", "qlat")))
     # target -> one cell, query cells distinct => pairs already unique
     cand1 = qc.join(t, "cell").where(F.col("query_id") != F.col("target_id"))
-    top1 = _knn_topk(cand1, k)
+    # phase-1 top-k feeds three consumers (results, settled agg, the
+    # anti-join); persist so the ring join + window run once
+    top1 = _knn_topk(cand1, k).persist()
 
     cell_w = 2.0 * EARTH_WIDTH / (1 << cell_depth)
     guarantee = max_rings * cell_w - 0.1
@@ -232,31 +242,43 @@ def raster_vector_join(media: DataFrame, features: DataFrame) -> DataFrame:
 
 def clip_lines_to_tiles(lines: DataFrame, tile_depth: int = 12) -> DataFrame:
     """Clip linestrings at quadtree tile boundaries (north-rule clip
-    cases; the reference only *filters* by bbox overlap, P7/G5)."""
+    cases; the reference only *filters* by bbox overlap, P7/G5).
+
+    Scale shape: (line, covering-cell) rows are clipped by
+    ``mapInPandas`` IN PLACE in the scan partitions — no groupBy, so a
+    hot cell never concentrates all its lines in one task (the round-1
+    per-cell applyInPandas did), and zero shuffle total."""
     src = (lines.select("id", "lonlats",
                         *[F.expr(v).alias(k) for k, v in _BBOX.items()])
            .withColumn("cell", F.explode(cover_cells_udf(
                "minlon", "minlat", "maxlon", "maxlat", F.lit(tile_depth)))))
 
-    def clip(pdf: pd.DataFrame) -> pd.DataFrame:
+    def clip(batches):
         import numpy as np
-        rows = []
-        cell = int(pdf["cell"].iloc[0])
-        bounds = qtk.tile_bounds(np.asarray([cell]))
-        bbox = (int(bounds[0][0]), int(bounds[1][0]),
-                int(bounds[2][0]), int(bounds[3][0]))
-        for _, r in pdf.iterrows():
-            lon = np.asarray([p["lon"] for p in r["lonlats"]], np.int64)
-            lat = np.asarray([p["lat"] for p in r["lonlats"]], np.int64)
-            for part_idx, (plon, plat) in enumerate(
-                    geomcalc.clip_line_bbox(lon, lat, bbox)):
-                rows.append({
-                    "id": int(r["id"]), "cell": cell, "part": part_idx,
-                    "lonlats": [{"lon": int(a), "lat": int(b)}
-                                for a, b in zip(plon, plat)],
-                })
-        return pd.DataFrame(rows, columns=["id", "cell", "part", "lonlats"])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell"].to_numpy(np.int64)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            b = qtk.tile_bounds(uniq)  # vectorized, once per batch
+            rows = []
+            for pos, r in enumerate(pdf.itertuples()):
+                u = inv[pos]
+                bbox = (int(b[0][u]), int(b[1][u]),
+                        int(b[2][u]), int(b[3][u]))
+                lon = np.fromiter((p["lon"] for p in r.lonlats), np.int64)
+                lat = np.fromiter((p["lat"] for p in r.lonlats), np.int64)
+                for part_idx, (plon, plat) in enumerate(
+                        geomcalc.clip_line_bbox(lon, lat, bbox)):
+                    rows.append({
+                        "id": int(r.id), "cell": int(r.cell),
+                        "part": part_idx,
+                        "lonlats": [{"lon": int(a), "lat": int(b_)}
+                                    for a, b_ in zip(plon, plat)],
+                    })
+            yield pd.DataFrame(rows,
+                               columns=["id", "cell", "part", "lonlats"])
 
     schema = ("id long, cell long, part int, "
               "lonlats array<struct<lon:int,lat:int>>")
-    return src.groupBy("cell").applyInPandas(clip, schema)
+    return src.mapInPandas(clip, schema)

@@ -127,9 +127,9 @@ def test_minzoom_and_qt_round(result):
     row = result.points.where(F.col("id") == 8001).first()
     assert row.minzoom == 6
     assert int(qt.depth(np.asarray([row.quadtree]))[0]) == 6
-    # wildcard: place=hamlet -> 14
+    # exact rule: place=hamlet -> 13 (widened table)
     row2 = result.points.where(F.col("id") == 8002).first()
-    assert row2.minzoom == 14
+    assert row2.minzoom == 13
     # polygons: SQL minzoom must equal the transcribed python spec
     spec = MinZoomSpec.default()
     for pid in (8030, 8050):

@@ -193,6 +193,55 @@ def test_geojson_tile_blocks(res, tmp_path):
     assert len(dirs) == len(blocks)
 
 
+def test_pgcopy_roundtrip(spark, res, tmp_path):
+    """Binary COPY encoding (S9/S10, `prepcopy.rs:40-77,695-745`):
+    encode the packed point table to .copy files, parse the payload
+    back with the independent decoder, compare values."""
+    import glob
+    from osmquadtree_geometry_spark import pgcopy
+    from osmquadtree_geometry_spark.config.style import GeometryStyle
+    packed = sinks.pack_tag_columns(
+        res.points, sinks.table_tag_columns(GeometryStyle())["point"])
+    cols = pgcopy.copy_columns_for(packed)
+    out = str(tmp_path / "copy")
+    pgcopy.write_pgcopy(packed, out)
+    rows = []
+    for f in sorted(glob.glob(os.path.join(out, "part-*.copy"))):
+        rows += pgcopy.parse_copy_payload(open(f, "rb").read(), cols)
+    exp = {r.osm_id: r.asDict() for r in packed.collect()}
+    assert len(rows) == len(exp)
+    names = [c for c, _ in cols]
+    for vals in rows:
+        d = dict(zip(names, vals))
+        e = exp[d["osm_id"]]
+        assert d["tags"] == dict(e["tags"])      # hstore catch-all
+        assert d["quadtree"] == e["quadtree"]
+        for k in names:
+            if k in ("tags",):
+                continue
+            assert d[k] == e[k], (k, d[k], e[k])
+    assert "FORMAT binary" in pgcopy.copy_sql("planet_osm_point", cols)
+
+
+def test_pgcopy_all_types(spark):
+    """Every typed encoder (int8/float8/bool/text/bytea/hstore) incl.
+    NULLs round-trips through the wire format."""
+    from osmquadtree_geometry_spark import pgcopy
+    df = spark.createDataFrame(
+        [(1, 2.5, True, "héllo", bytearray(b"\x01\x02\xff"),
+          {"a": "1", "b": "x"}),
+         (2, None, None, None, None, None)],
+        "i long, f double, b boolean, s string, w binary, "
+        "t map<string,string>")
+    cols = pgcopy.copy_columns_for(df)
+    enc = pgcopy.encode_copy_rows(df, cols).collect()
+    payload = pgcopy.HEADER + b"".join(r.copy_row for r in enc) + pgcopy.TRAILER
+    rows = sorted(pgcopy.parse_copy_payload(payload, cols))
+    assert rows[0] == [1, 2.5, True, "héllo", b"\x01\x02\xff",
+                       {"a": "1", "b": "x"}]
+    assert rows[1] == [2, None, None, None, None, None]
+
+
 def test_ddl():
     stmts = sinks.generate_ddl("planet_osm_point",
                                ["amenity", "highway", "name"],
