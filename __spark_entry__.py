@@ -273,6 +273,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.8)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    from osmquadtree_geometry_spark.dedup import embedding_near_dup_pairs
+    emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
+    # fixture embeddings top out at ~0.47 within-label cosine;
+    # 0.35 exercises the operator with a non-trivial pair set
+    return embedding_near_dup_pairs(emb, threshold=0.35)
+
+
 def q_language_id(spark, sf_dir):
     from osmquadtree_geometry_spark.textops import language_id
     return language_id(spark.read.parquet(_sf(sf_dir, "documents")))
@@ -428,6 +436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
@@ -467,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_tiles": oracles.q_geojson_tiles(docs, STYLE, MINZOOM),
         "lsh_ann": oracles.q_lsh_ann(k=10, n_queries=5, n_planes=3,
                                      n_tables=8, dim=64),
+        "polygon_validity": oracles.q_polygon_validity(docs, STYLE),
         # multipolygons / assembly_errors: rows-only
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -505,6 +515,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.q_simhash(),
         "simhash_pairs": oracles.q_simhash_pairs(max_hamming=3),
         "ngram_jaccard": oracles.q_ngram_jaccard(threshold=0.8),
+        "embedding_near_dup": oracles.q_embedding_near_dup(
+            threshold=0.35, dim=64),
         "quality_score": oracles.q_quality_score(
             __import__("osmquadtree_geometry_spark.textops",
                        fromlist=["STOPWORDS"]).STOPWORDS["en"]),

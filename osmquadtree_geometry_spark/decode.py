@@ -34,13 +34,15 @@ def _field(n: int, text: str = "text") -> str:
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
+    # no offset column: nothing downstream consumes it (the span
+    # invariant sorts docs.spans directly), and the exploded table is
+    # persisted — every cached byte is DRAM bandwidth on read
     s = docs.select("doc_id", F.explode("spans").alias("s"))
     return s.select(
         "doc_id",
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
-        F.col("s.offset").alias("offset"),
     )
 
 

@@ -458,6 +458,100 @@ SELECT tile, count(*) AS n_features,
 FROM pf GROUP BY tile"""
 
 
+def _banker(x: str) -> str:
+    """Round-half-even (numpy/python semantics) — DuckDB round() is
+    half-away-from-zero, and int-coordinate midpoints hit .5 often."""
+    f = f"floor({x})"
+    fr = f"(({x}) - {f})"
+    return (f"cast(({f} + CASE WHEN {fr} > 0.5 THEN 1 "
+            f"WHEN {fr} < 0.5 THEN 0 "
+            f"WHEN cast({f} as bigint) % 2 = 0 THEN 0 ELSE 1 END) as bigint)")
+
+
+def q_polygon_validity(docs_path: str, style: GeometryStyle) -> str:
+    """Mirror of operators.validity (is_valid ring test +
+    point_on_surface) over the simple-polygon ways:
+
+      is_valid  = >=4 pts AND closed AND no consecutive dupes AND
+                  2dp-mercator shoelace != 0 AND no non-adjacent
+                  segment intersection (float side tests, identical
+                  arithmetic to kernels.geomcalc.segment_intersects)
+      pos       = midpoint of the widest pnpoly crossing interval on
+                  the bbox-centre-latitude scanline, round-half-even
+    """
+    is_poly = polygon_match(style, "wstat.way")
+    # ring list + per-ring scalars
+    mx = merc_x("wp.lon")
+    my = merc_y("wp.lat")
+    # --- is_valid pieces (over ll = list<struct(lon,lat,x,y)>) ---
+    dupes = ("len(list_filter(generate_series(2, len(ll)), i -> "
+             "ll[i].lon = ll[i-1].lon AND ll[i].lat = ll[i-1].lat)) > 0")
+    closed = "(ll[1].lon = ll[len(ll)].lon AND ll[1].lat = ll[len(ll)].lat)"
+    shoelace = ("list_sum(list_transform(generate_series(1, len(ll) - 1), "
+                "i -> ll[i].x * ll[i+1].y - ll[i].y * ll[i+1].x))")
+    # float side test s((p1,p2), q): sign of cross product on raw
+    # int-degree coords (matches geomcalc._side)
+    def side(p1, p2, q):
+        # floats BEFORE arithmetic: python casts to float degrees and
+        # int32 differences would overflow DuckDB's strict integers
+        return (f"sign(({q}.lon::double - {p1}.lon::double) * "
+                f"({p2}.lat::double - {p1}.lat::double) - "
+                f"({p2}.lon::double - {p1}.lon::double) * "
+                f"({q}.lat::double - {p1}.lat::double))")
+    seg_int = (
+        f"({side('ll[i]', 'll[i+1]', 'll[j]')} != "
+        f" {side('ll[i]', 'll[i+1]', 'll[j+1]')} AND "
+        f" {side('ll[j]', 'll[j+1]', 'll[i]')} != "
+        f" {side('ll[j]', 'll[j+1]', 'll[i+1]')})")
+    self_int = (
+        "len(list_filter(flatten(list_transform("
+        "generate_series(1, len(ll) - 1), i -> "
+        "list_transform(generate_series(i + 2, len(ll) - 1), j -> "
+        f"CASE WHEN i = 1 AND j = len(ll) - 1 THEN false "
+        f"ELSE {seg_int} END))), x -> x)) > 0")
+    is_valid = (f"(len(ll) >= 4 AND {closed} AND NOT ({dupes}) "
+                f"AND ({shoelace}) != 0.0 AND NOT ({self_int}))")
+    # --- point_on_surface (float degrees over raw ints as double) ---
+    cy = ("((list_min(list_transform(ll, p -> p.lat))::double + "
+          "list_max(list_transform(ll, p -> p.lat))::double) / 2.0)")
+    cross_x = ("list_sort(list_filter(list_transform("
+               "generate_series(1, len(ll) - 1), i -> "
+               "CASE WHEN (ll[i].lat::double > cy) != (ll[i+1].lat::double > cy) "
+               "THEN ll[i].lon::double + (cy - ll[i].lat::double) / "
+               "(ll[i+1].lat::double - ll[i].lat::double) * "
+               "(ll[i+1].lon::double - ll[i].lon::double) ELSE NULL END), "
+               "x -> x IS NOT NULL))")
+    widths = ("list_transform(generate_series(1, len(xs) // 2), "
+              "i -> xs[2*i] - xs[2*i - 1])")
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+polys AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND wstat.f = wstat.l AND {is_poly}
+),
+rings AS (SELECT wp.way,
+                 list(struct_pack(lon := wp.lon, lat := wp.lat,
+                                  x := {mx}, y := {my}) ORDER BY wp.pos) AS ll
+          FROM wp JOIN polys ON wp.way = polys.way GROUP BY wp.way),
+v AS (SELECT way, ll, {is_valid} AS is_valid, {cy} AS cy FROM rings),
+c AS (SELECT way, ll, is_valid, cy, {cross_x} AS xs FROM v),
+w AS (SELECT way, is_valid, cy, xs, {widths} AS ws FROM c),
+best AS (SELECT way, is_valid, cy, xs,
+                CASE WHEN len(ws) = 0 THEN NULL
+                     ELSE list_position(ws, list_max(ws)) END AS bi
+         FROM w)
+SELECT way AS id, is_valid,
+       cast({_banker('(xs[2*bi - 1] + xs[2*bi]) / 2.0')} as int) AS pos_lon,
+       cast({_banker('cy')} as int) AS pos_lat
+FROM best WHERE bi IS NOT NULL
+UNION ALL
+-- degenerate scanline (no crossings): python falls back to the mean
+SELECT way AS id, is_valid, NULL AS pos_lon,
+       cast({_banker('cy')} as int) AS pos_lat
+FROM best WHERE bi IS NULL"""
+
+
 def q_lsh_ann(k: int = 10, n_queries: int = 5, n_planes: int = 3,
               n_tables: int = 8, dim: int = 64, seed: int = 42) -> str:
     """Mirror of similarity.lsh_ann_topk with the SAME seeded
@@ -685,6 +779,23 @@ scored AS (
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY cosine DESC, vec_id) AS rn FROM scored)
 SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}"""
+
+
+def q_embedding_near_dup(threshold: float = 0.95, dim: int = 64) -> str:
+    """Mirror of dedup.embedding_near_dup_pairs (label-blocked exact
+    cosine): explicit left-assoc sum chains reproduce Spark's
+    aggregate-fold float order."""
+    def chain(f):
+        return " + ".join(f(j) for j in range(dim))
+    dot = chain(lambda j: f"(a.embedding[{j + 1}]::DOUBLE * b.embedding[{j + 1}]::DOUBLE)")
+    na = chain(lambda j: f"(a.embedding[{j + 1}]::DOUBLE * a.embedding[{j + 1}]::DOUBLE)")
+    nb = chain(lambda j: f"(b.embedding[{j + 1}]::DOUBLE * b.embedding[{j + 1}]::DOUBLE)")
+    cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    return f"""
+SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
 
 
 def q_events_rollup() -> str:

@@ -46,6 +46,11 @@ def get_spark(app: str = "osmquadtree_geometry_spark",
         # throughput collector wins for pure batch
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    # ad-hoc experiment overrides: "k=v;k=v" (bench A/B harness)
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -62,6 +62,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "raster_vector": oracles.q_raster_vector(docs, style, mz),
         "geojson_points": oracles.q_geojson_points(docs, style),
         "geojson_tiles": oracles.q_geojson_tiles(docs, style, mz),
+        "polygon_validity": oracles.q_polygon_validity(docs, style),
     })
     return out
 
@@ -85,7 +86,8 @@ ORACLE_QUERIES = [
     "fingerprint", "embedding_topk", "events_rollup", "sessionize",
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "quality_score",
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
-    "geojson_points", "geojson_tiles", "lsh_ann",
+    "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
+    "embedding_near_dup",
 ]
 
 
@@ -103,7 +105,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 
 ROWS_ONLY_QUERIES = [
     "multipolygons", "assembly_errors", "clip_lines",
-    "multimodal_features", "lowzoom_lines", "polygon_validity",
+    "multimodal_features", "lowzoom_lines",
 ]
 
 
