@@ -106,7 +106,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_decode_nodes(spark, sf_dir):
     n = _decoded(spark, sf_dir)["nodes"]
-    return n.select("id", "lon", "lat", F.size("tags").cast("long").alias("n_tags"))
+    return n.select("id", "lon", "lat", "version", "timestamp",
+                    F.size("tags").cast("long").alias("n_tags"))
 
 
 def q_decode_ways(spark, sf_dir):
@@ -188,6 +189,43 @@ def q_multipolygons(spark, sf_dir):
         .alias("n_interiors"),
         F.round("area", 1).alias("area"),
         "quadtree", F.md5(F.hex("wkb")).alias("wkb_hash"))
+
+
+def q_multipolygons_closed_rings(spark, sf_dir):
+    """Ring assembly restricted to the SQL-tractable subclass (every
+    member a resolvable CLOSED way, i.e. no part merging) so the
+    DuckDB oracle can independently re-derive containment + area
+    sums — the correctness pin for the general assembly path."""
+    from osmquadtree_geometry_spark.operators.multipolygons import (
+        process_multipolygons)
+    from osmquadtree_geometry_spark.operators import sqlgeom
+    from osmquadtree_geometry_spark.operators.waynodes import collect_way_nodes
+    t = _decoded(spark, sf_dir)
+    ways_ll, _ = collect_way_nodes(t["ways"], t["nodes"])
+    closed = (ways_ll.where(F.expr(sqlgeom.sql_is_ring("refs")))
+              .select(F.col("id").alias("way_id")))
+    m = t["relations"].select("id", F.explode("members").alias("m"))
+    stats = m.groupBy("id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("m.mem_type") == "way", 1).otherwise(0))
+        .alias("n_ways"),
+        F.sum(F.when(F.col("m.role") != "inner", 1).otherwise(0))
+        .alias("n_outer"))
+    resolved = (m.where(F.col("m.mem_type") == "way")
+                .join(closed, F.col("m.mem_ref") == F.col("way_id"))
+                .groupBy("id").agg(F.count("*").alias("n_ok")))
+    good = (stats.join(resolved, "id")
+            .where((F.col("n_members") == F.col("n_ways"))
+                   & (F.col("n_ok") == F.col("n_ways"))
+                   & (F.col("n_outer") >= 1))
+            .select("id"))
+    cp, _errs = process_multipolygons(t["relations"].join(good, "id"),
+                                      ways_ll, STYLE)
+    return cp.select(
+        "id", F.size("parts").cast("long").alias("n_parts"),
+        F.expr("cast(aggregate(parts, 0L, (a, p) -> a + size(p.interiors)) "
+               "as bigint)").alias("n_interiors"),
+        F.round("area", 1).alias("area"))
 
 
 def q_assembly_errors(spark, sf_dir):
@@ -419,6 +457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parent_tags": q_parent_tags,
     "minzoom_points": q_minzoom_points,
     "multipolygons": q_multipolygons,
+    "multipolygons_closed_rings": q_multipolygons_closed_rings,
     "assembly_errors": q_assembly_errors,
     "tile_assignment": q_tile_assignment,
     "lineitem_agg": q_lineitem_agg,
@@ -469,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "parent_tags": oracles.q_parent_tags(docs, STYLE),
         "minzoom_points": oracles.q_minzoom_points(docs, STYLE, MINZOOM),
         "tile_assignment": oracles.q_tile_assignment(docs, STYLE, MINZOOM),
+        "multipolygons_closed_rings":
+            oracles.q_multipolygons_closed_rings(docs, STYLE),
         "pip_join": oracles.q_pip_join(docs, STYLE),
         "knn_join": oracles.q_knn_join(docs, STYLE, k=3),
         "raster_vector": oracles.q_raster_vector(docs, STYLE, MINZOOM),

@@ -6,7 +6,7 @@ media_ref string, offset int>>)`` of interleaved text+media documents.
 Each doc carries one OSM-like scene; span ``text`` is a ``;``-separated
 ``k=v`` packing:
 
-  kind=node        id=<i64>;lon=<i32>;lat=<i32>
+  kind=node        id=<i64>;lon=<i32>;lat=<i32>;ver=<int>;ts=<i64>
   kind=tag         elem=<node|way|rel>;id=<i64>;k=<key>;v=<val>
   kind=way_ref     way=<i64>;pos=<int>;ref=<node_id>
   kind=rel_member  rel=<i64>;pos=<int>;type=<node|way|rel>;ref=<i64>;role=<outer|inner|>
@@ -125,7 +125,13 @@ class Scene:
     def spans(self) -> list[tuple[str, str, str]]:
         out: list[tuple[str, str, str]] = []
         for nid, lon, lat in sorted(self.nodes):
-            out.append(("node", f"id={nid};lon={lon};lat={lat}", ""))
+            # element Info metadata (SURVEY §1.1 `info:Option<Info>`):
+            # deterministic version/timestamp derived from the id
+            ver = 1 + nid % 7
+            ts = 1_400_000_000 + (nid * 8647) % 500_000_000
+            out.append(("node",
+                        f"id={nid};lon={lon};lat={lat};ver={ver};ts={ts}",
+                        ""))
         for wid, refs in sorted(self.ways):
             for pos, r in enumerate(refs):
                 out.append(("way_ref", f"way={wid};pos={pos};ref={r}", ""))
@@ -319,12 +325,23 @@ def docs_for_sf(sf_dir: str) -> int:
     return 220
 
 
+FIXTURE_VERSION = 2  # v2: node spans carry ver=/ts= info fields
+
+
 def generate_docs_parquet(out_path: str, n_docs: int) -> str:
     """Write the docs table; idempotent (skips when already present
-    with the right row count)."""
+    with the right row count AND span-grammar version — a version
+    marker file invalidates stale fixtures when the grammar evolves)."""
+    # dot-prefixed: Spark file sources ignore hidden files, so the
+    # marker never collides with directory-based parquet reads
+    marker = os.path.join(os.path.dirname(out_path),
+                          "." + os.path.basename(out_path) + ".fixture_version")
     if os.path.exists(out_path):
         try:
-            if pq.read_metadata(out_path).num_rows == n_docs:
+            ok_rows = pq.read_metadata(out_path).num_rows == n_docs
+            ok_ver = (os.path.exists(marker)
+                      and open(marker).read().strip() == str(FIXTURE_VERSION))
+            if ok_rows and ok_ver:
                 return out_path
         except Exception:
             pass
@@ -344,6 +361,8 @@ def generate_docs_parquet(out_path: str, n_docs: int) -> str:
                 {"doc_id": ids, "spans": spans}, schema=DOCS_SCHEMA))
     finally:
         writer.close()
+    with open(marker, "w") as f:
+        f.write(str(FIXTURE_VERSION))
     return out_path
 
 

@@ -93,7 +93,11 @@ def decode_nodes(spans: DataFrame,
          .select("doc_id",
                  F.expr(_field(1)).cast("long").alias("id"),
                  F.expr(_field(2)).cast("int").alias("lon"),
-                 F.expr(_field(3)).cast("int").alias("lat"))
+                 F.expr(_field(3)).cast("int").alias("lat"),
+                 # element Info metadata (`geometry_block.rs:39`,
+                 # SURVEY §1.1 `info:Option<Info>`)
+                 F.expr(_field(4)).cast("int").alias("version"),
+                 F.expr(_field(5)).cast("long").alias("timestamp"))
          # malformed span text -> unparsable row; drop rather than emit
          # a null-id node with a spurious quadtree
          .where(F.col("id").isNotNull() & F.col("lon").isNotNull()
@@ -186,7 +190,8 @@ def reencode_spans(nodes: DataFrame, ways: DataFrame, relations: DataFrame,
                  F.lit("").alias("k3")).alias("ord"),
         F.lit("node").alias("kind"),
         F.concat(F.lit("id="), "id", F.lit(";lon="), "lon",
-                 F.lit(";lat="), "lat").alias("text"),
+                 F.lit(";lat="), "lat", F.lit(";ver="), "version",
+                 F.lit(";ts="), "timestamp").alias("text"),
         F.lit("").alias("media_ref"))
     w = (ways.select("doc_id", "id", F.posexplode("refs").alias("pos", "ref"))
          .select("doc_id", F.lit(1).alias("rank"),

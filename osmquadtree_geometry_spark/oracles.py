@@ -29,7 +29,9 @@ sp AS (SELECT doc_id, unnest(spans) AS s FROM read_parquet({_lit(docs_path)})),
 nd AS (SELECT doc_id,
               cast(regexp_extract(s.text, 'id=(-?\\d+)', 1) AS bigint) AS id,
               cast(regexp_extract(s.text, 'lon=(-?\\d+)', 1) AS int) AS lon,
-              cast(regexp_extract(s.text, 'lat=(-?\\d+)', 1) AS int) AS lat
+              cast(regexp_extract(s.text, 'lat=(-?\\d+)', 1) AS int) AS lat,
+              cast(regexp_extract(s.text, 'ver=(\\d+)', 1) AS int) AS version,
+              cast(regexp_extract(s.text, 'ts=(\\d+)', 1) AS bigint) AS ts
        FROM sp WHERE s.kind = 'node'),
 wr AS (SELECT doc_id,
               cast(regexp_extract(s.text, 'way=(-?\\d+)', 1) AS bigint) AS way,
@@ -88,6 +90,7 @@ def q_decode_nodes(docs_path: str) -> str:
     return f"""WITH {base_ctes(docs_path)},
 tc AS (SELECT id, count(*) AS n FROM tg WHERE elem = 'node' GROUP BY id)
 SELECT nd.id AS id, nd.lon AS lon, nd.lat AS lat,
+       nd.version AS version, nd.ts AS timestamp,
        cast(coalesce(tc.n, 0) AS bigint) AS n_tags
 FROM nd LEFT JOIN tc ON nd.id = tc.id"""
 
@@ -456,6 +459,86 @@ SELECT tile, count(*) AS n_features,
        '{{"type":"FeatureCollection","features":[' ||
        string_agg(feature, ',' ORDER BY id) || ']}}' AS collection
 FROM pf GROUP BY tile"""
+
+
+def q_multipolygons_closed_rings(docs_path: str,
+                                 style: GeometryStyle) -> str:
+    """Independent re-derivation of multipolygon assembly for the
+    SQL-tractable subclass: relations whose members are all resolvable
+    CLOSED ways (each way IS one ring — no part merging).  Pins the
+    assembly arithmetic (J2/G7-G9): 2dp-mercator ring areas,
+    winding-normalized area sum (Σ|outer| − Σ|assigned inner|), and
+    the reference's containment rule (outer bbox ⊇ inner bbox AND
+    pnpoly(inner first point, outer ring), `rings.py _add_ring` /
+    `multipolygons.rs`); orphan inners are dropped like the
+    reference's rem list.  Assumes no outer-in-outer nesting within a
+    relation (true of the fixture scenes; nested outers would need the
+    iterative parts fold)."""
+    mp_types = (["multipolygon", "boundary"] if style.boundary_relations
+                else ["multipolygon"])
+    types = ", ".join(_lit(t) for t in mp_types)
+    mx = merc_x("wp.lon")
+    my = merc_y("wp.lat")
+    # pnpoly: inner ring first point vs outer ring (float degrees,
+    # identical arithmetic to kernels.geomcalc.points_in_ring)
+    pnp = ("(len(list_filter(generate_series(2, len(ro.ll)), i -> "
+           "((ro.ll[i].lat * 1e-7 > ri.ll[1].lat * 1e-7) != "
+           " (ro.ll[i-1].lat * 1e-7 > ri.ll[1].lat * 1e-7)) "
+           "AND ri.ll[1].lon * 1e-7 < "
+           "(ro.ll[i-1].lon * 1e-7 - ro.ll[i].lon * 1e-7) * "
+           "(ri.ll[1].lat * 1e-7 - ro.ll[i].lat * 1e-7) / "
+           "(ro.ll[i-1].lat * 1e-7 - ro.ll[i].lat * 1e-7) + "
+           "ro.ll[i].lon * 1e-7)) % 2) = 1")
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+closedw AS (SELECT wstat.way FROM wstat
+            WHERE wstat.way IN (SELECT way FROM wok) AND wstat.f = wstat.l),
+relgood AS (
+  SELECT rm.rel FROM rm GROUP BY rm.rel
+  HAVING count(*) = sum(CASE WHEN mem_type = 'way' THEN 1 ELSE 0 END)
+     AND sum(CASE WHEN role != 'inner' THEN 1 ELSE 0 END) >= 1
+     AND sum(CASE WHEN mem_type = 'way'
+              AND ref IN (SELECT way FROM closedw) THEN 1 ELSE 0 END) = count(*)),
+relok AS (
+  SELECT rel FROM relgood
+  WHERE EXISTS (SELECT 1 FROM tg WHERE tg.elem = 'rel' AND tg.id = rel
+                AND tg.k = 'type' AND tg.v IN ({types}))
+    AND {feature_exists(style, 'rel', 'rel')}),
+rstat AS (
+  SELECT way, ll,
+         -0.5 * list_sum(list_transform(generate_series(1, len(ll) - 1),
+             i -> ll[i].x * ll[i+1].y - ll[i].y * ll[i+1].x)) AS sarea,
+         list_min(list_transform(ll, p -> p.lon)) AS minlon,
+         list_min(list_transform(ll, p -> p.lat)) AS minlat,
+         list_max(list_transform(ll, p -> p.lon)) AS maxlon,
+         list_max(list_transform(ll, p -> p.lat)) AS maxlat
+  FROM (SELECT wp.way,
+               list(struct_pack(lon := wp.lon, lat := wp.lat,
+                                x := {mx}, y := {my}) ORDER BY wp.pos) AS ll
+        FROM wp WHERE wp.way IN (SELECT way FROM closedw)
+        GROUP BY wp.way)),
+outr AS (SELECT rm.rel, rm.ref AS way FROM rm
+         WHERE rm.rel IN (SELECT rel FROM relok)
+           AND rm.mem_type = 'way' AND rm.role != 'inner'),
+innr AS (SELECT rm.rel, rm.ref AS way FROM rm
+         WHERE rm.rel IN (SELECT rel FROM relok)
+           AND rm.mem_type = 'way' AND rm.role = 'inner'),
+contained AS (
+  SELECT i.rel, i.way FROM innr i
+  JOIN rstat ri ON ri.way = i.way
+  JOIN outr o ON o.rel = i.rel
+  JOIN rstat ro ON ro.way = o.way
+  WHERE ro.minlon <= ri.minlon AND ro.minlat <= ri.minlat
+    AND ro.maxlon >= ri.maxlon AND ro.maxlat >= ri.maxlat
+    AND {pnp})
+SELECT o.rel AS id, count(*) AS n_parts,
+       (SELECT count(DISTINCT c.way) FROM contained c
+        WHERE c.rel = o.rel) AS n_interiors,
+       round(sum(abs(ro.sarea)) - coalesce(
+         (SELECT sum(abs(ri.sarea)) FROM
+            (SELECT DISTINCT c2.rel, c2.way FROM contained c2) c
+          JOIN rstat ri ON ri.way = c.way WHERE c.rel = o.rel), 0.0), 1) AS area
+FROM outr o JOIN rstat ro ON ro.way = o.way
+GROUP BY o.rel"""
 
 
 def _banker(x: str) -> str:

@@ -50,7 +50,8 @@ def run_pipeline(spark: SparkSession, docs_path: str,
                  minzoom: MinZoomSpec | None = None,
                  with_tiles: bool = True,
                  tile_group_depth: int = 8,
-                 persist: bool = True) -> PipelineResult:
+                 persist: bool = True,
+                 end_date: int | None = None) -> PipelineResult:
     style = style or GeometryStyle()
     docs = read_docs(spark, docs_path)
     t = decode_all(docs)
@@ -112,6 +113,16 @@ def run_pipeline(spark: SparkSession, docs_path: str,
         lines = allocate_tiles(lines, tiles)
         spolys = allocate_tiles(spolys, tiles)
         cpolys = allocate_tiles(cpolys, tiles)
+
+    if end_date is not None:
+        # block-level snapshot timestamp carried on every feature
+        # (`geometry_block.rs:39,190-193` PrimitiveBlock.end_date —
+        # the reference's historical-extract marker)
+        def stamp(df: DataFrame) -> DataFrame:
+            return df.withColumn("end_date",
+                                 F.lit(int(end_date)).cast("long"))
+        points, lines, spolys, cpolys = (
+            stamp(points), stamp(lines), stamp(spolys), stamp(cpolys))
 
     return PipelineResult(
         points=points, linestrings=lines, simple_polygons=spolys,

@@ -20,6 +20,9 @@ def test_decode_nodes(decoded):
     row = nodes.where(F.col("id") == 1).first()  # doc 0 = scene_points node 1
     assert row.tags == {"amenity": "cafe", "name": "A"}
     assert row.lon is not None and row.lat is not None
+    # element Info metadata (v2 grammar): deterministic from the id
+    assert row.version == 1 + 1 % 7
+    assert row.timestamp == 1_400_000_000 + (1 * 8647) % 500_000_000
     # quadtree column matches the numpy kernel
     sample = nodes.limit(50).collect()
     got = np.asarray([r.quadtree for r in sample])
@@ -51,6 +54,21 @@ def test_decode_media(decoded):
     assert media.count() > 0
     r = media.first()
     assert r.tile == f"{r.z}/{r.x}/{r.y}"
+
+
+def test_pipeline_end_date(spark, docs_path):
+    """Historical-extract marker (`geometry_block.rs:39,190-193`):
+    end_date stamps every geometry output when requested."""
+    from osmquadtree_geometry_spark.pipeline import run_pipeline
+    res = run_pipeline(spark, docs_path, with_tiles=False,
+                       end_date=1_700_000_000)
+    for df in (res.points, res.linestrings, res.simple_polygons,
+               res.complicated_polygons):
+        assert "end_date" in df.columns
+        vals = {r.end_date for r in df.select("end_date").limit(5).collect()}
+        assert vals <= {1_700_000_000}
+    res2 = run_pipeline(spark, docs_path, with_tiles=False)
+    assert "end_date" not in res2.points.columns
 
 
 def test_span_roundtrip_invariant(spark, docs_path, decoded):

@@ -57,6 +57,8 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "parent_tags": oracles.q_parent_tags(docs, style),
         "minzoom_points": oracles.q_minzoom_points(docs, style, mz),
         "tile_assignment": oracles.q_tile_assignment(docs, style, mz),
+        "multipolygons_closed_rings":
+            oracles.q_multipolygons_closed_rings(docs, style),
         "pip_join": oracles.q_pip_join(docs, style),
         "knn_join": oracles.q_knn_join(docs, style, k=3),
         "raster_vector": oracles.q_raster_vector(docs, style, mz),
@@ -87,7 +89,7 @@ ORACLE_QUERIES = [
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "quality_score",
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
-    "embedding_near_dup",
+    "embedding_near_dup", "multipolygons_closed_rings",
 ]
 
 
