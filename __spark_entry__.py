@@ -228,6 +228,13 @@ def q_multipolygons_closed_rings(spark, sf_dir):
         F.round("area", 1).alias("area"))
 
 
+def q_waynode_errors(spark, sf_dir):
+    """J1 error path alone (SQL-expressible; the relation-level 'no
+    rings' errors need merge logic and stay in assembly_errors)."""
+    res = _pipeline(spark, sf_dir)
+    return res.errors.where(F.col("elem_type") == "way")
+
+
 def q_assembly_errors(spark, sf_dir):
     res = _pipeline(spark, sf_dir)
     return res.errors.groupBy("elem_type", "message").agg(
@@ -459,6 +466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multipolygons": q_multipolygons,
     "multipolygons_closed_rings": q_multipolygons_closed_rings,
     "assembly_errors": q_assembly_errors,
+    "waynode_errors": q_waynode_errors,
     "tile_assignment": q_tile_assignment,
     "lineitem_agg": q_lineitem_agg,
     "top_customers": q_top_customers,
@@ -510,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignment": oracles.q_tile_assignment(docs, STYLE, MINZOOM),
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, STYLE),
+        "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, STYLE),
         "knn_join": oracles.q_knn_join(docs, STYLE, k=3),
         "raster_vector": oracles.q_raster_vector(docs, STYLE, MINZOOM),

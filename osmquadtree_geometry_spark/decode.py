@@ -2,7 +2,9 @@
 ``nodes`` / ``ways`` / ``relations`` / ``media`` DataFrames, and
 re-encode them back to spans for the per-row invariant check.
 
-Everything here is built-in DataFrame ops (``explode``,
+All parses use ``try_cast`` (NOT ``cast``): under ANSI mode a plain
+cast THROWS on malformed text, and the contract here is
+null-and-drop.  Everything here is built-in DataFrame ops (``explode``,
 ``str_to_map``, ``map_from_entries``, window-free groupBys) — fully
 JVM-side, no Python UDFs.  The only shuffles are the per-entity
 groupBys (way refs, relation members, tag maps), each keyed by the
@@ -59,7 +61,7 @@ def decode_tags(spans: DataFrame) -> DataFrame:
     may contain any characters incl. '=' and ';')"""
     t = (spans.where(F.col("kind") == "tag")
          .select(F.expr(_field(1)).alias("elem"),
-                 F.expr(_field(2)).cast("long").alias("id"),
+                 F.expr(f"try_cast({_field(2)} as bigint)").alias("id"),
                  F.expr(_field(3)).alias("k"),
                  F.expr("substring(text, locate(';v=', text) + 3)").alias("v"))
          .where(F.col("id").isNotNull()))
@@ -91,13 +93,13 @@ def decode_nodes(spans: DataFrame,
     pure-SQL kernel so it stays inside whole-stage codegen."""
     n = (spans.where(F.col("kind") == "node")
          .select("doc_id",
-                 F.expr(_field(1)).cast("long").alias("id"),
-                 F.expr(_field(2)).cast("int").alias("lon"),
-                 F.expr(_field(3)).cast("int").alias("lat"),
+                 F.expr(f"try_cast({_field(1)} as bigint)").alias("id"),
+                 F.expr(f"try_cast({_field(2)} as int)").alias("lon"),
+                 F.expr(f"try_cast({_field(3)} as int)").alias("lat"),
                  # element Info metadata (`geometry_block.rs:39`,
                  # SURVEY §1.1 `info:Option<Info>`)
-                 F.expr(_field(4)).cast("int").alias("version"),
-                 F.expr(_field(5)).cast("long").alias("timestamp"))
+                 F.expr(f"try_cast({_field(4)} as int)").alias("version"),
+                 F.expr(f"try_cast({_field(5)} as bigint)").alias("timestamp"))
          # malformed span text -> unparsable row; drop rather than emit
          # a null-id node with a spurious quadtree
          .where(F.col("id").isNotNull() & F.col("lon").isNotNull()
@@ -113,9 +115,9 @@ def decode_ways(spans: DataFrame,
     """ways(doc_id, id, refs, tags)."""
     w = (spans.where(F.col("kind") == "way_ref")
          .select("doc_id",
-                 F.expr(_field(1)).cast("long").alias("id"),
-                 F.expr(_field(2)).cast("int").alias("pos"),
-                 F.expr(_field(3)).cast("long").alias("ref"))
+                 F.expr(f"try_cast({_field(1)} as bigint)").alias("id"),
+                 F.expr(f"try_cast({_field(2)} as int)").alias("pos"),
+                 F.expr(f"try_cast({_field(3)} as bigint)").alias("ref"))
          .where(F.col("id").isNotNull() & F.col("pos").isNotNull()
                 & F.col("ref").isNotNull()))
     refs = (w.groupBy("id")
@@ -133,10 +135,10 @@ def decode_relations(spans: DataFrame,
     """relations(doc_id, id, members array<struct<mem_type,mem_ref,role>>, tags)."""
     r = (spans.where(F.col("kind") == "rel_member")
          .select("doc_id",
-                 F.expr(_field(1)).cast("long").alias("id"),
-                 F.expr(_field(2)).cast("int").alias("pos"),
+                 F.expr(f"try_cast({_field(1)} as bigint)").alias("id"),
+                 F.expr(f"try_cast({_field(2)} as int)").alias("pos"),
                  F.expr(_field(3)).alias("mem_type"),
-                 F.expr(_field(4)).cast("long").alias("mem_ref"),
+                 F.expr(f"try_cast({_field(4)} as bigint)").alias("mem_ref"),
                  F.expr(_field(5)).alias("role")))
     members = (r.groupBy("id")
                .agg(F.first("doc_id").alias("doc_id"),
@@ -155,11 +157,11 @@ def decode_media(spans: DataFrame) -> DataFrame:
     """media(doc_id, tile, z, x, y) — raster tile references."""
     m = (spans.where(F.col("kind") == "media")
          .select("doc_id", F.col("media_ref").alias("tile")))
-    p = F.split("tile", "/")
-    return m.select("doc_id", "tile",
-                    p.getItem(0).cast("int").alias("z"),
-                    p.getItem(1).cast("long").alias("x"),
-                    p.getItem(2).cast("long").alias("y"))
+    return m.select(
+        "doc_id", "tile",
+        F.expr("try_cast(split(tile, '/')[0] as int)").alias("z"),
+        F.expr("try_cast(split(tile, '/')[1] as bigint)").alias("x"),
+        F.expr("try_cast(split(tile, '/')[2] as bigint)").alias("y"))
 
 
 def decode_all(docs: DataFrame) -> dict[str, DataFrame]:

@@ -122,6 +122,16 @@ SELECT doc_id, cast(count(*) AS bigint) AS n_spans,
 FROM flat GROUP BY doc_id"""
 
 
+def q_waynode_errors(docs_path: str) -> str:
+    """J1 error path: one 'missing node <ref>' per way, first missing
+    ref in position order (`waywithnodes.rs:105-109`)."""
+    return f"""WITH {base_ctes(docs_path)}
+SELECT 'way' AS elem_type, wr.way AS elem_id,
+       'missing node ' || min_by(wr.ref, wr.pos) AS message
+FROM wr LEFT JOIN nd ON wr.ref = nd.id
+WHERE nd.id IS NULL GROUP BY wr.way"""
+
+
 def q_node_quadtree(docs_path: str, style: GeometryStyle) -> str:
     """Feature nodes with their z18 point cell + xyz — the dialect-
     neutral arithmetic encode runs verbatim in DuckDB."""

@@ -39,9 +39,9 @@ def stream_decode_nodes(docs_stream: DataFrame) -> DataFrame:
     spans = explode_spans(docs_stream)
     n = (spans.where(F.col("kind") == "node")
          .select("doc_id",
-                 F.expr(_field(1)).cast("long").alias("id"),
-                 F.expr(_field(2)).cast("int").alias("lon"),
-                 F.expr(_field(3)).cast("int").alias("lat"))
+                 F.expr(f"try_cast({_field(1)} as bigint)").alias("id"),
+                 F.expr(f"try_cast({_field(2)} as int)").alias("lon"),
+                 F.expr(f"try_cast({_field(3)} as int)").alias("lat"))
          .where(F.col("id").isNotNull()))
     from .kernels.quadtree import with_point_qt
     return with_point_qt(n, "lon", "lat")

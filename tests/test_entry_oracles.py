@@ -59,6 +59,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "tile_assignment": oracles.q_tile_assignment(docs, style, mz),
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, style),
+        "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, style),
         "knn_join": oracles.q_knn_join(docs, style, k=3),
         "raster_vector": oracles.q_raster_vector(docs, style, mz),
@@ -89,7 +90,7 @@ ORACLE_QUERIES = [
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "quality_score",
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
-    "embedding_near_dup", "multipolygons_closed_rings",
+    "embedding_near_dup", "multipolygons_closed_rings", "waynode_errors",
 ]
 
 
