@@ -61,6 +61,17 @@ def geojson_feature_expr(geom_type: str) -> str:
         pts = f"transform({coords}, p -> {_pt_json('p.lon', 'p.lat')})"
         geometry = (f"concat('{{\"type\":\"Polygon\",\"coordinates\":[[', "
                     f"array_join({pts}, ','), ']]}}')")
+    elif geom_type == "complicated_polygon":
+        # MultiPolygon from assembled parts (exterior + holes, winding
+        # already normalized by the assembly kernel,
+        # `complicatedpolygongeometry.rs` GeoJSON emitter)
+        ring = "r -> concat('[', array_join(transform(r, p -> %s), ','), ']')" % (
+            _pt_json("p.lon", "p.lat"))
+        part = (f"pt -> concat('[', array_join(transform("
+                f"concat(array(pt.exterior), pt.interiors), {ring}), "
+                f"','), ']')")
+        geometry = (f"concat('{{\"type\":\"MultiPolygon\",\"coordinates\":[', "
+                    f"array_join(transform(parts, {part}), ','), ']}}')")
     else:
         raise ValueError(geom_type)
     return (f"concat('{{\"type\":\"Feature\",\"id\":', cast(id as string), "
@@ -116,6 +127,22 @@ def write_sorted_tiles(df: DataFrame, out_path: str) -> None:
     (df.repartitionByRange("tile", "id")
        .sortWithinPartitions("tile", "id")
        .write.mode("overwrite").parquet(out_path))
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int, path: str | None = None) -> None:
+    """Bucketed + sorted table write — the co-location primitive for
+    repeated joins/aggs on the same key at 100 TB: two tables bucketed
+    on the same (column, count) join with ZERO shuffle (the scan
+    satisfies the join's partitioning requirement; see
+    test_bucketed_join_no_shuffle).  E.g. bucket the decoded ways and
+    node-locations by id once, run every later enrichment join
+    shuffle-free."""
+    w = (df.write.mode("overwrite").format("parquet")
+         .bucketBy(n_buckets, bucket_col).sortBy(bucket_col))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 # ---------------------------------------------------------------------------

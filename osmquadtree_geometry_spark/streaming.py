@@ -78,6 +78,70 @@ def streaming_events_rollup(spark: SparkSession, events_path: str,
                     "n", "total_value"))
 
 
+def streaming_sessionize(spark: SparkSession, events_path: str,
+                         gap_minutes: int | None = 30) -> DataFrame:
+    """Custom STATEFUL streaming operator via
+    ``applyInPandasWithState``: per-user session accumulation with a
+    processing-time timeout — a session closes when no event arrives
+    for ``gap_minutes`` (state timeout) and is emitted with its event
+    count and bounds.  This is the stateful shape the reference's
+    tile-ordered eviction maps to in Structured Streaming (state
+    keyed by user, bounded by the timeout — no unbounded state at any
+    scale)."""
+    import os
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    ev = reader.parquet(events_path)
+    # gap_minutes=None -> NoTimeout: sessions stay open (snapshot per
+    # batch) — the deterministic mode for finite-source replay tests;
+    # with a gap, a ProcessingTimeTimeout closes idle sessions but the
+    # query then runs timeout-firing microbatches until the gap
+    # elapses (continuous-source semantics).
+    gap_ms = None if gap_minutes is None else gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, t0, t1 = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                                "session_start": [t0], "session_end": [t1],
+                                "closed": [True]})
+            return
+        n, t0, t1 = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            lo = pdf["ts"].min().isoformat()
+            hi = pdf["ts"].max().isoformat()
+            t0 = lo if t0 is None or lo < t0 else t0
+            t1 = hi if t1 is None or hi > t1 else t1
+        state.update((n, t0, t1))
+        if gap_ms is not None:
+            state.setTimeoutDuration(gap_ms)
+        # interim (open) session snapshot
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                            "session_start": [t0], "session_end": [t1],
+                            "closed": [False]})
+
+    out_schema = ("user_id long, n_events long, session_start string, "
+                  "session_end string, closed boolean")
+    state_schema = "n long, t0 string, t1 string"
+    timeout = (GroupStateTimeout.NoTimeout if gap_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return (ev.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", timeout))
+
+
 def run_stream_to_memory(q_df: DataFrame, name: str, mode: str = "complete"):
     """Drive a streaming DF to completion against a memory sink (test
     harness): returns the query handle after processAllAvailable."""

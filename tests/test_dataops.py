@@ -282,6 +282,31 @@ def test_streaming_decode_and_tiles(spark, docs_path, decoded):
     assert got == exp
 
 
+def test_streaming_sessionize_stateful(spark):
+    """applyInPandasWithState custom stateful operator: per-user
+    session state with processing-time timeout."""
+    from osmquadtree_geometry_spark.streaming import (
+        run_stream_to_memory, streaming_sessionize)
+    # NoTimeout mode: deterministic for finite-source replay (a gap
+    # timeout keeps firing microbatches until wall-clock elapses)
+    agg = streaming_sessionize(spark, f"{SF}/events.parquet",
+                               gap_minutes=None)
+    q = run_stream_to_memory(agg, "sessionize_state", mode="append")
+    try:
+        rows = spark.sql("SELECT * FROM sessionize_state").collect()
+    finally:
+        q.stop()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exp = {r.user_id: r.n for r in
+           ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    got = {}
+    for r in rows:
+        assert r.session_start <= r.session_end
+        got[r.user_id] = max(got.get(r.user_id, 0), r.n_events)
+    # one batch -> every user's open-session snapshot counts all events
+    assert got == exp
+
+
 def test_streaming_events_rollup(spark):
     from osmquadtree_geometry_spark.streaming import (
         run_stream_to_memory, streaming_events_rollup)

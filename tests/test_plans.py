@@ -103,6 +103,29 @@ def test_knn_plan_is_equi_join(spark, docs_path):
     assert "NestedLoop" not in prv and "CartesianProduct" not in prv
 
 
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same (key, count) must join with NO
+    Exchange in the plan — the co-location primitive that replaces
+    repeated shuffles at 100 TB."""
+    from osmquadtree_geometry_spark.sinks import write_bucketed
+    a = spark.range(0, 20000).selectExpr("id as k", "id * 2 as va")
+    b = spark.range(0, 20000).selectExpr("id as k", "id * 3 as vb")
+    write_bucketed(a, "bt_a", "k", 8, str(tmp_path / "bt_a"))
+    write_bucketed(b, "bt_b", "k", 8, str(tmp_path / "bt_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_pip_join_bounded_cell_agg(spark):
     """pip_join must not pack a cell's points into one UNBOUNDED
     collect_list row (round-1 scale-killer): the pack aggregation is

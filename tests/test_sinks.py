@@ -174,6 +174,25 @@ def test_pack_tag_columns(res):
     assert "osm_id" in packed.columns and "quadtree" in packed.columns
 
 
+def test_geojson_multipolygon(res):
+    rows = {r.id: json.loads(r.feature) for r in
+            sinks.geojson_features(res.complicated_polygons,
+                                   "complicated_polygon").collect()}
+    assert rows
+    found_hole = False
+    for rid, f in rows.items():
+        assert f["geometry"]["type"] == "MultiPolygon"
+        parts = f["geometry"]["coordinates"]
+        row = res.complicated_polygons.where(F.col("id") == rid).first()
+        assert len(parts) == len(row.parts)
+        for part, src in zip(parts, row.parts):
+            assert len(part) == 1 + len(src.interiors)  # exterior + holes
+            for ring in part:
+                assert ring[0] == ring[-1]  # closed
+            found_hole = found_hole or len(part) > 1
+    assert found_hole  # donut scenes exercise interior rings
+
+
 def test_geojson_tile_blocks(res, tmp_path):
     blocks = {r.tile: r for r in
               sinks.geojson_tile_blocks(res.points, "point").collect()}
