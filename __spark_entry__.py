@@ -408,6 +408,23 @@ def q_lowzoom_lines(spark, sf_dir):
             .select("id", "minzoom", "n_points_before", "n_points_after"))
 
 
+def q_make_valid(spark, sf_dir):
+    """G13 make_valid (node-split repair) pinned by its conservation
+    law: per polygon way, sum of repaired pieces' 2*signed_area in raw
+    coords == the input ring's exact integer shoelace (bowties,
+    pinches, spikes and contained loops all conserve it)."""
+    from osmquadtree_geometry_spark.operators.validity import make_valid_polygons
+    res = _pipeline(spark, sf_dir)
+    pieces = (make_valid_polygons(res.simple_polygons)
+              .groupBy("id")
+              .agg(F.round(F.sum("area2_raw")).cast("long").alias("area2_raw")))
+    # degenerate inputs repair to zero pieces but still hold a row in
+    # the conservation oracle (their shoelace is 0)
+    return (res.simple_polygons.select("id")
+            .join(pieces, "id", "left")
+            .select("id", F.coalesce("area2_raw", F.lit(0)).alias("area2_raw")))
+
+
 def q_polygon_validity(spark, sf_dir):
     from osmquadtree_geometry_spark.operators.validity import (
         with_point_on_surface, with_validity)
@@ -495,6 +512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "lowzoom_lines": q_lowzoom_lines,
     "polygon_validity": q_polygon_validity,
+    "make_valid": q_make_valid,
 }
 
 
@@ -527,6 +545,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": oracles.q_lsh_ann(k=10, n_queries=5, n_planes=3,
                                      n_tables=8, dim=64),
         "polygon_validity": oracles.q_polygon_validity(docs, STYLE),
+        "make_valid": oracles.q_make_valid_area(docs, STYLE),
+        "clip_lines": oracles.q_clip_lines(docs, STYLE),
         # multipolygons / assembly_errors: rows-only
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -555,10 +575,10 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: rows-only (the fake decoder is a seeded
         # numpy RNG — not SQL-expressible; the Arrow plumbing is
         # pytest-covered).  multipolygons / assembly_errors /
-        # clip_lines / lowzoom_lines / polygon_validity: rows-only
-        # (ring assembly, parametric clipping, and simplification are
-        # iterative geometry — verified by kernel unit tests +
-        # brute-force pytest oracles)
+        # lowzoom_lines: rows-only (ring assembly WKB and
+        # Douglas-Peucker are iterative geometry — pinned instead by
+        # multipolygons_closed_rings / waynode_errors / kernel tests;
+        # DP's recursive stack has no SQL analogue)
         "minhash_signatures": oracles.q_minhash_signatures(n_hashes=8),
         "minhash_lsh_pairs": oracles.q_minhash_lsh_pairs(
             n_hashes=8, bands=4, max_bucket=64),

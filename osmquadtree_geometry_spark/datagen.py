@@ -301,10 +301,44 @@ def scene_skew(s: Scene) -> None:
         s.way(750 + i, [hub, e], {"highway": "residential"})
 
 
+def scene_invalid_polygons(s: Scene) -> None:
+    """Self-intersecting polygon ways — make_valid node-split targets
+    (`geosgeometry.rs:209-226`): bowtie (transversal crossing),
+    pinched ring (repeated vertex), spiked square, and a self-crossing
+    ring with a contained opposite loop (outer + hole)."""
+    # bowtie: crossing at (U, U)
+    a = s.node(1, 0, 0)
+    b = s.node(2, 2 * U, 0)
+    c = s.node(3, 0, 2 * U)
+    d = s.node(4, 2 * U, 2 * U)
+    s.way(10, [a, b, c, d, a], {"building": "yes"})
+    # pinched: two triangles sharing one revisited vertex
+    p = s.node(5, 6 * U, 0)
+    q1 = s.node(6, 8 * U, 0)
+    q2 = s.node(7, 8 * U, 2 * U)
+    r1 = s.node(8, 4 * U, 0)
+    r2 = s.node(9, 4 * U, -2 * U)
+    s.way(11, [p, q1, q2, p, r2, r1, p], {"landuse": "meadow"})
+    # spiked square: zero-area arm off the top edge
+    e0 = s.node(11, 12 * U, 0)
+    e1 = s.node(12, 16 * U, 0)
+    e2 = s.node(13, 16 * U, 4 * U)
+    sp = s.node(14, 14 * U, 8 * U)
+    e3 = s.node(15, 14 * U, 4 * U)
+    e4 = s.node(16, 12 * U, 4 * U)
+    s.way(12, [e0, e1, e2, e3, sp, e3, e4, e0], {"leisure": "pitch"})
+    # self-crossing ring whose tail loops inside -> outer + hole
+    xy = [(0, 0), (12, 0), (12, 12), (6, 12), (6, 3),
+          (9, 3), (9, 9), (3, 9), (3, 6), (0, 6)]
+    pts = [s.node(20 + i, x * U + 24 * U, y * U) for i, (x, y) in enumerate(xy)]
+    s.way(13, pts + [pts[0]], {"natural": "sand"})
+
+
 SCENES = [
     scene_points, scene_line_vs_poly, scene_donut, scene_multi_part,
     scene_missing_member, scene_parent_tags, scene_relation_tags,
     scene_tile_boundary, scene_minzoom, scene_media_join, scene_skew,
+    scene_invalid_polygons,
 ]
 
 
@@ -325,7 +359,7 @@ def docs_for_sf(sf_dir: str) -> int:
     return 220
 
 
-FIXTURE_VERSION = 2  # v2: node spans carry ver=/ts= info fields
+FIXTURE_VERSION = 3  # v3: scene_invalid_polygons (make_valid targets)
 
 
 def generate_docs_parquet(out_path: str, n_docs: int) -> str:

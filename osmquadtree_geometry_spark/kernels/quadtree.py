@@ -259,6 +259,19 @@ def sql_point_qt(lon_col: str, lat_col: str, max_depth: int = MAX_DEPTH) -> str:
     return expr.replace("_tx", f"({tx})").replace("_ty", f"({ty})")
 
 
+def sql_tile_qt(tx_col: str, ty_col: str, depth: int) -> str:
+    """SQL computing ``from_tile(tx, ty, depth)`` from integer tile
+    coordinate columns (pure arithmetic morton interleave — valid in
+    both Spark SQL and DuckDB)."""
+    terms = []
+    for shift in range(depth):
+        xb = f"(cast(floor(({tx_col}) / {1 << shift}) as bigint) % 2)"
+        yb = f"(cast(floor(({ty_col}) / {1 << shift}) as bigint) % 2)"
+        terms.append(f"({xb} * 2 + {yb}) * cast({4 ** shift} as bigint)")
+    morton = " + ".join(terms)
+    return f"((({morton}) * cast({4 ** (MAX_DEPTH - depth)} as bigint)) * 32 + {depth})"
+
+
 def sql_round_qt(qt_col: str, depth_col: str) -> str:
     """SQL computing ``round_qt(qt, d)`` (d may be a column or literal)."""
     d = f"least(cast({depth_col} as bigint), cast({qt_col} as bigint) % 32)"

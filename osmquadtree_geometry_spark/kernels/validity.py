@@ -16,11 +16,22 @@ same operations:
     the widest pnpoly crossing interval on the centroid scanline — the
     standard PostGIS approach).
   * ``boundary``: polygon -> its rings as linestrings.
-  * ``make_valid``: PARTIAL — repairs the repairs GEOS would do
-    cheaply (drop repeated points, close unclosed rings, drop
-    degenerate (<4 pt / zero-area) rings); full self-intersection
-    node-splitting requires a computational-geometry stack and raises
-    ``NotImplementedError`` (documented stub per round-1 environment).
+  * ``make_valid``: cheap repairs (drop repeated points, close
+    unclosed rings, drop degenerate (<4 pt / zero-area) rings) PLUS
+    full self-intersection repair via noding + cycle decomposition
+    (``make_valid_parts``): every transversal crossing is inserted as
+    a vertex, the noded closed walk is split into simple cycles at
+    repeated vertices (bowties -> two lobes, pinched rings -> parts,
+    spikes -> dropped zero-area cycles), and cycles are classified
+    outer/hole by even-odd containment depth — the same MultiPolygon
+    structure GEOS ST_MakeValid's linework method produces for these
+    inputs.  Invariant (the oracle hook): the sum of the pieces'
+    signed shoelace areas equals the original ring's shoelace exactly
+    (cycle decomposition partitions the cross-product terms; inserted
+    crossing points are collinear on their segments), so
+    ``2*signed_area`` in raw fixed-point coordinates is conserved as
+    an exact integer.  Collinear-overlap (shared-edge) degeneracies
+    are not noded — like GEOS pre-3.10 they pass through unsplit.
 """
 
 from __future__ import annotations
@@ -71,8 +82,9 @@ def is_valid_ring(lon: np.ndarray, lat: np.ndarray) -> bool:
 
 
 def make_valid_ring(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Cheap repairs only (see module docstring); raises on
-    self-intersecting input that would need node splitting."""
+    """Cheap repairs only (dedupe/close/degenerate-drop); raises on
+    self-intersecting input — use :func:`make_valid_parts` for the
+    full node-splitting repair."""
     lon, lat = dedupe_consecutive(np.asarray(lon, np.int64),
                                   np.asarray(lat, np.int64))
     if len(lon) and (lon[0] != lon[-1] or lat[0] != lat[-1]):
@@ -82,9 +94,203 @@ def make_valid_ring(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.nd
         return np.asarray([], np.int64), np.asarray([], np.int64)
     if ring_self_intersects(lon, lat):
         raise NotImplementedError(
-            "full make_valid (self-intersection node splitting) requires "
-            "GEOS, absent in this container — see geosgeometry.rs:209-226")
+            "single-ring make_valid cannot represent a node-split result; "
+            "call make_valid_parts (geosgeometry.rs:209-226 parity)")
     return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# full make_valid: noding + cycle decomposition (geosgeometry.rs:209-226)
+# ---------------------------------------------------------------------------
+
+def _seg_intersection(ax, ay, bx, by, cx, cy, dx, dy):
+    """Transversal intersection of closed segments AB × CD.  Returns
+    ``(t_ab, t_cd, x, y)`` (floats; x,y exact where t is 0/1) or None
+    for parallel/collinear/non-crossing pairs.  Integer inputs keep
+    the cross products exact (|coords| local-origin bounded)."""
+    d1x, d1y = bx - ax, by - ay
+    d2x, d2y = dx - cx, dy - cy
+    denom = d1x * d2y - d1y * d2x
+    if denom == 0:
+        return None
+    t_num = (cx - ax) * d2y - (cy - ay) * d2x
+    u_num = (cx - ax) * d1y - (cy - ay) * d1x
+    if denom < 0:
+        t_num, u_num, denom = -t_num, -u_num, -denom
+    if not (0 <= t_num <= denom and 0 <= u_num <= denom):
+        return None
+    t = t_num / denom
+    u = u_num / denom
+    return t, u, ax + t * d1x, ay + t * d1y
+
+
+def _node_sequence(lon: np.ndarray, lat: np.ndarray) -> list[tuple[float, float]]:
+    """Insert every transversal crossing point into the closed walk.
+    Both segments of a crossing receive the SAME float point object,
+    so the cycle split can key on exact float pairs.  All arithmetic
+    runs on local-origin coordinates (exact int crosses, float
+    products ~1e12 — exact in double)."""
+    ox, oy = int(lon[0]), int(lat[0])
+    xs = [int(v) - ox for v in lon]
+    ys = [int(v) - oy for v in lat]
+    n = len(xs) - 1  # closed: last == first
+    cuts: list[list[tuple[float, tuple[float, float]]]] = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            hit = _seg_intersection(xs[i], ys[i], xs[i + 1], ys[i + 1],
+                                    xs[j], ys[j], xs[j + 1], ys[j + 1])
+            if hit is None:
+                continue
+            t, u, px, py = hit
+            # snap endpoint touches to the exact vertex floats so the
+            # cycle split (keyed on float pairs) merges the nodes
+            if t == 0.0:
+                p = (float(xs[i]), float(ys[i]))
+            elif t == 1.0:
+                p = (float(xs[i + 1]), float(ys[i + 1]))
+            elif u == 0.0:
+                p = (float(xs[j]), float(ys[j]))
+            elif u == 1.0:
+                p = (float(xs[j + 1]), float(ys[j + 1]))
+            else:
+                p = (px, py)
+            # skip intersections that are just the shared vertex of
+            # adjacent segments (they insert harmless duplicates, but
+            # avoiding them keeps the noded walk minimal)
+            if j == i + 1 and t == 1.0 and u == 0.0:
+                continue
+            if i == 0 and j == n - 1 and t == 0.0 and u == 1.0:
+                continue
+            cuts[i].append((t, p))
+            cuts[j].append((u, p))
+    seq: list[tuple[float, float]] = []
+    for i in range(n):
+        pt = (float(xs[i]), float(ys[i]))
+        if not seq or seq[-1] != pt:
+            seq.append(pt)
+        for _, p in sorted(cuts[i], key=lambda z: z[0]):
+            if seq[-1] != p:
+                seq.append(p)
+    return seq
+
+
+def _split_cycles(seq: list[tuple[float, float]]) -> list[list[tuple[float, float]]]:
+    """Split a closed walk into simple cycles at repeated vertices
+    (stack walk: revisiting a vertex pops the loop since that visit).
+    Cycles shorter than 4 points (spikes, zero-length loops) drop."""
+    stack: list[tuple[float, float]] = []
+    pos: dict[tuple[float, float], int] = {}
+    out: list[list[tuple[float, float]]] = []
+    for p in seq + [seq[0]]:
+        if p in pos:
+            i = pos[p]
+            cyc = stack[i:] + [p]
+            for q in stack[i + 1:]:
+                pos.pop(q)
+            del stack[i + 1:]
+            if len(cyc) >= 4:
+                out.append(cyc)
+        else:
+            pos[p] = len(stack)
+            stack.append(p)
+    return out
+
+
+def _cycle_area2(cyc: list[tuple[float, float]]) -> float:
+    """Twice the signed shoelace area, reference sign convention
+    (position.rs:134-149: clockwise-in-lonlat positive, i.e.
+    ``-sum(cross)``), around the cycle's own origin."""
+    x0, y0 = cyc[0]
+    s = 0.0
+    for (xa, ya), (xb, yb) in zip(cyc, cyc[1:]):
+        s += (xa - x0) * (yb - y0) - (ya - y0) * (xb - x0)
+    return -s
+
+
+def _rep_point(cyc: list[tuple[float, float]]) -> tuple[float, float]:
+    """Interior representative point (widest-interval scanline, float
+    form of :func:`point_on_surface`)."""
+    ys = [p[1] for p in cyc]
+    cy = (min(ys) + max(ys)) / 2.0
+    xs = []
+    for (xa, ya), (xb, yb) in zip(cyc, cyc[1:]):
+        if (ya > cy) != (yb > cy):
+            xs.append(xa + (cy - ya) / (yb - ya) * (xb - xa))
+    if not xs:
+        return cyc[0]
+    xs.sort()
+    best_w, best_i = -1.0, 0
+    for i in range(0, len(xs) - 1, 2):
+        if xs[i + 1] - xs[i] > best_w:
+            best_w, best_i = xs[i + 1] - xs[i], i
+    return (xs[best_i] + xs[best_i + 1]) / 2.0, cy
+
+
+def _point_in_cycle(cyc: list[tuple[float, float]], x: float, y: float) -> bool:
+    inside = False
+    for (xa, ya), (xb, yb) in zip(cyc, cyc[1:]):
+        if (ya > y) != (yb > y):
+            if x < xa + (y - ya) / (yb - ya) * (xb - xa):
+                inside = not inside
+    return inside
+
+
+def make_valid_parts(lon: np.ndarray, lat: np.ndarray) -> list[dict]:
+    """Full polygon repair.  Returns a list of piece dicts::
+
+        {"lon": int64[], "lat": int64[],   # closed, output rounding
+         "area2_raw": float,               # 2*signed area, ORIGINAL
+                                           # traversal, raw coords
+         "role": "outer"|"hole",
+         "parent": int}                    # outer piece index for holes
+
+    Valid input comes back as a single outer piece.  Conservation:
+    ``sum(p["area2_raw"])`` equals the input ring's ``-sum(cross)``
+    exactly (up to float ulps on ~1e12 products)."""
+    lon, lat = dedupe_consecutive(np.asarray(lon, np.int64),
+                                  np.asarray(lat, np.int64))
+    if len(lon) and (lon[0] != lon[-1] or lat[0] != lat[-1]):
+        lon = np.append(lon, lon[0])
+        lat = np.append(lat, lat[0])
+    if len(lon) < 4:
+        return []
+    ox, oy = int(lon[0]), int(lat[0])
+    cycles = [c for c in _split_cycles(_node_sequence(lon, lat))
+              if _cycle_area2(c) != 0.0]
+    if not cycles:
+        return []
+    reps = [_rep_point(c) for c in cycles]
+    # noded cycles never cross, so interiors are disjoint or strictly
+    # nested; i ⊂ j implies |area_i| < |area_j|, and testing only
+    # strictly-larger j makes the rep-point containment test exact
+    # (a nested child would otherwise capture its parent's rep point)
+    a2 = [abs(_cycle_area2(c)) for c in cycles]
+    depth = [sum(1 for j, other in enumerate(cycles)
+                 if a2[j] > a2[i] and _point_in_cycle(other, *reps[i]))
+             for i in range(len(cycles))]
+    pieces: list[dict] = []
+    outer_idx: dict[int, int] = {}
+    for i, cyc in enumerate(cycles):
+        if depth[i] % 2 == 0:
+            outer_idx[i] = len(pieces)
+            pieces.append({
+                "lon": np.asarray([round(x) + ox for x, _ in cyc], np.int64),
+                "lat": np.asarray([round(y) + oy for _, y in cyc], np.int64),
+                "area2_raw": _cycle_area2(cyc),
+                "role": "outer", "parent": len(pieces)})
+    for i, cyc in enumerate(cycles):
+        if depth[i] % 2 == 1:
+            # attach to the smallest strictly-larger containing outer
+            parents = [j for j in outer_idx
+                       if a2[j] > a2[i] and _point_in_cycle(cycles[j], *reps[i])]
+            pj = min(parents, key=lambda j: a2[j]) if parents else None
+            pieces.append({
+                "lon": np.asarray([round(x) + ox for x, _ in cyc], np.int64),
+                "lat": np.asarray([round(y) + oy for _, y in cyc], np.int64),
+                "area2_raw": _cycle_area2(cyc),
+                "role": "hole",
+                "parent": outer_idx[pj] if pj is not None else -1})
+    return pieces
 
 
 def simplify(lon: np.ndarray, lat: np.ndarray, tolerance_m: float) -> tuple[np.ndarray, np.ndarray]:

@@ -15,7 +15,8 @@ from __future__ import annotations
 from .config.minzoom import MinZoomSpec
 from .config.style import GeometryStyle
 from .kernels.mercator import EARTH_WIDTH
-from .kernels.quadtree import sql_point_qt, sql_qt_depth, sql_round_qt
+from .kernels.quadtree import (sql_point_qt, sql_qt_depth, sql_round_qt,
+                               sql_tile_qt)
 
 
 def _lit(s: str) -> str:
@@ -191,6 +192,160 @@ ar AS (SELECT way, -0.5 * sum(c) AS signed_area FROM cr GROUP BY way)
 SELECT way AS id, round(abs(signed_area), 2) AS area,
        signed_area < 0 AS reversed
 FROM ar"""
+
+
+def q_make_valid_area(docs_path: str, style: GeometryStyle) -> str:
+    """make_valid conservation oracle: the sum of the repaired pieces'
+    ``2*signed_area`` equals the input ring's raw-coordinate shoelace
+    EXACTLY (cycle decomposition partitions the cross-product terms,
+    inserted crossing points are collinear) — computable in SQL as an
+    exact BIGINT without re-implementing the node split.  Local-origin
+    translation keeps products ~1e12 (no int64 overflow, and each
+    closed cycle's shoelace is translation-invariant)."""
+    is_poly = polygon_match(style, "wstat.way")
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+polys AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND wstat.f = wstat.l AND {is_poly}
+),
+org AS (SELECT way, arg_min(lon, pos) AS ox, arg_min(lat, pos) AS oy
+        FROM wp GROUP BY way),
+cr AS (SELECT wp.way,
+              (CAST(wp.lon - org.ox AS BIGINT) *
+               lead(CAST(wp.lat - org.oy AS BIGINT)) OVER w
+             - CAST(wp.lat - org.oy AS BIGINT) *
+               lead(CAST(wp.lon - org.ox AS BIGINT)) OVER w) AS c
+       FROM wp JOIN polys ON wp.way = polys.way
+               JOIN org ON org.way = wp.way
+       WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos))
+SELECT way AS id, CAST(coalesce(-sum(c), 0) AS BIGINT) AS area2_raw
+FROM cr GROUP BY way"""
+
+
+def _sql_round_even(x: str) -> str:
+    """Round-half-even (numpy/python ``round`` semantics — DuckDB's
+    ``round`` is half-away-from-zero, which differs on exact .5 tile
+    boundaries, e.g. tile edges at tx*87890.625)."""
+    return (f"(CASE WHEN ({x}) - floor({x}) > 0.5 THEN floor({x}) + 1 "
+            f"WHEN ({x}) - floor({x}) < 0.5 THEN floor({x}) "
+            f"WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 THEN floor({x}) "
+            f"ELSE floor({x}) + 1 END)")
+
+
+def _sql_tile_x(lon: str, n: int) -> str:
+    x = f"(({lon}) * 1e-7 + 180.0) / 360.0"
+    return (f"least(cast(floor(least(greatest({x}, 0.0), 1.0 - 1e-15) * {n}) "
+            f"as bigint), {n - 1})")
+
+
+def _sql_tile_y(lat: str, n: int) -> str:
+    latc = f"least(greatest(({lat}) * 1e-7, -85.051128779806), 85.051128779806)"
+    y = f"(1.0 - ln(tan(pi()/4.0 + radians({latc})/2.0)) / pi()) / 2.0"
+    return (f"least(cast(floor(least(greatest({y}, 0.0), 1.0 - 1e-15) * {n}) "
+            f"as bigint), {n - 1})")
+
+
+def q_clip_lines(docs_path: str, style: GeometryStyle,
+                 tile_depth: int = 12) -> str:
+    """Full SQL mirror of ``spatial.joins.clip_lines_to_tiles``:
+    cover cells from the line bbox (slippy tile ranges of the two
+    corners at ``tile_depth``), per-cell Liang–Barsky parametric clip
+    of every segment (order-independent closed form — failure iff
+    final t0 > t1 plus the zero-delta slab test), run-length part
+    splitting (a part breaks when the previous segment was dropped,
+    exited early (t1 < 1), or its rounded exit point differs from this
+    segment's rounded entry), and per-part point counts (1 + segments
+    whose rounded exit differs from their rounded entry; parts with a
+    single point drop, survivors renumber by first segment).  Crossing
+    coordinates and tile bounds use round-half-even to match
+    numpy/python rounding."""
+    n = 1 << tile_depth
+    is_poly = polygon_match(style, "wstat.way")
+    blon = f"((tx_ / {n}.0) * 360.0 - 180.0) * 1e7"
+    blon1 = f"(((tx_ + 1) / {n}.0) * 360.0 - 180.0) * 1e7"
+
+    # DuckDB has no sinh; (exp(t)-exp(-t))/2 can differ from libm sinh
+    # in the last ulp, which only matters if a tile edge lands within
+    # ~1e-7 fixed-point units of a .5 rounding boundary (none do at
+    # depth <= 14 — checked over all 2^14 ty values)
+    def _sinh(t: str) -> str:
+        return f"((exp({t}) - exp(-({t}))) / 2.0)"
+
+    blat = (f"degrees(atan({_sinh(f'pi() * (1.0 - 2.0 * (ty_ / {n}.0))')}))"
+            " * 1e7")
+    blat1 = (f"degrees(atan({_sinh(f'pi() * (1.0 - 2.0 * ((ty_ + 1) / {n}.0))')}))"
+             " * 1e7")
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+lines AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND NOT (wstat.f = wstat.l AND {is_poly})
+),
+bb AS (SELECT wp.way, min(lon) AS mnx, min(lat) AS mny,
+              max(lon) AS mxx, max(lat) AS mxy
+       FROM wp JOIN lines ON wp.way = lines.way GROUP BY wp.way),
+crn AS (SELECT way,
+               {_sql_tile_x('mnx', n)} AS txa, {_sql_tile_y('mny', n)} AS tya,
+               {_sql_tile_x('mxx', n)} AS txb, {_sql_tile_y('mxy', n)} AS tyb
+        FROM bb),
+gx AS (SELECT way, unnest(range(least(txa, txb), greatest(txa, txb) + 1)) AS tx_,
+              least(tya, tyb) AS ty0, greatest(tya, tyb) AS ty1
+       FROM crn),
+cells AS (SELECT way, tx_, unnest(range(ty0, ty1 + 1)) AS ty_ FROM gx),
+cb AS (SELECT way, {sql_tile_qt('tx_', 'ty_', tile_depth)} AS cell,
+              CAST({_sql_round_even(blon)} AS DOUBLE) AS bminx,
+              CAST({_sql_round_even(blon1)} AS DOUBLE) AS bmaxx,
+              CAST({_sql_round_even(blat1)} AS DOUBLE) AS bminy,
+              CAST({_sql_round_even(blat)} AS DOUBLE) AS bmaxy
+       FROM cells),
+seg AS (SELECT cb.way, cb.cell, bminx, bmaxx, bminy, bmaxy, wp.pos,
+               CAST(wp.lon AS DOUBLE) AS px, CAST(wp.lat AS DOUBLE) AS py,
+               lead(CAST(wp.lon AS DOUBLE)) OVER w AS qx,
+               lead(CAST(wp.lat AS DOUBLE)) OVER w AS qy
+        FROM cb JOIN wp ON wp.way = cb.way
+        WINDOW w AS (PARTITION BY cb.way, cb.cell ORDER BY wp.pos)),
+lb AS (SELECT *, qx - px AS dx, qy - py AS dy FROM seg WHERE qx IS NOT NULL),
+tt AS (SELECT *,
+  greatest(0.0,
+    CASE WHEN dx = 0 THEN 0.0 WHEN dx > 0 THEN (bminx - px) / dx
+         ELSE (bmaxx - px) / dx END,
+    CASE WHEN dy = 0 THEN 0.0 WHEN dy > 0 THEN (bminy - py) / dy
+         ELSE (bmaxy - py) / dy END) AS t0,
+  least(1.0,
+    CASE WHEN dx = 0 THEN 1.0 WHEN dx > 0 THEN (bmaxx - px) / dx
+         ELSE (bminx - px) / dx END,
+    CASE WHEN dy = 0 THEN 1.0 WHEN dy > 0 THEN (bmaxy - py) / dy
+         ELSE (bminy - py) / dy END) AS t1
+  FROM lb),
+pts AS (SELECT *,
+  (t0 <= t1 AND (dx != 0 OR (px >= bminx AND px <= bmaxx))
+           AND (dy != 0 OR (py >= bminy AND py <= bmaxy))) AS kept,
+  CAST({_sql_round_even('px + t0 * dx')} AS BIGINT) AS axr,
+  CAST({_sql_round_even('py + t0 * dy')} AS BIGINT) AS ayr,
+  CAST({_sql_round_even('px + t1 * dx')} AS BIGINT) AS bxr,
+  CAST({_sql_round_even('py + t1 * dy')} AS BIGINT) AS byr,
+  (t1 < 1.0) AS ex
+  FROM tt),
+lg AS (SELECT *, lag(kept) OVER w AS lk, lag(ex) OVER w AS lex,
+              lag(bxr) OVER w AS lbx, lag(byr) OVER w AS lby
+       FROM pts WINDOW w AS (PARTITION BY way, cell ORDER BY pos)),
+run0 AS (SELECT *, CASE WHEN lk AND NOT lex AND lbx = axr AND lby = ayr
+                        THEN 0 ELSE 1 END AS brk
+         FROM lg WHERE kept),
+run1 AS (SELECT *, sum(brk) OVER (PARTITION BY way, cell ORDER BY pos) AS rid
+         FROM run0),
+agg AS (SELECT way, cell, rid, min(pos) AS p0,
+               1 + sum(CASE WHEN bxr != axr OR byr != ayr THEN 1 ELSE 0 END)
+                 AS np
+        FROM run1 GROUP BY way, cell, rid)
+SELECT way AS id, cell,
+       CAST(row_number() OVER (PARTITION BY way, cell ORDER BY p0) - 1
+            AS INT) AS part,
+       CAST(np AS BIGINT) AS n_points
+FROM agg WHERE np >= 2"""
 
 
 def q_relation_tags(docs_path: str, style: GeometryStyle) -> str:

@@ -66,6 +66,8 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "geojson_points": oracles.q_geojson_points(docs, style),
         "geojson_tiles": oracles.q_geojson_tiles(docs, style, mz),
         "polygon_validity": oracles.q_polygon_validity(docs, style),
+        "make_valid": oracles.q_make_valid_area(docs, style),
+        "clip_lines": oracles.q_clip_lines(docs, style),
     })
     return out
 
@@ -91,6 +93,7 @@ ORACLE_QUERIES = [
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "multipolygons_closed_rings", "waynode_errors",
+    "make_valid", "clip_lines",
 ]
 
 
@@ -107,7 +110,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 
 
 ROWS_ONLY_QUERIES = [
-    "multipolygons", "assembly_errors", "clip_lines",
+    "multipolygons", "assembly_errors",
     "multimodal_features", "lowzoom_lines",
 ]
 

@@ -84,3 +84,95 @@ def test_boundary():
     rings = V.boundary([[(SQ_LON, SQ_LAT), (SQ_LON // 2, SQ_LAT // 2)]])
     assert len(rings) == 2
     assert line_length(*rings[0]) > 0
+
+
+# ---------------------------------------------------------------------------
+# make_valid_parts: node-split repair (geosgeometry.rs:209-226 parity)
+# ---------------------------------------------------------------------------
+
+def _shoelace2(lon, lat):
+    """Reference-convention 2*signed area (exact int, local origin)."""
+    lon = np.asarray(lon, np.int64)
+    lat = np.asarray(lat, np.int64)
+    x0, y0 = int(lon[0]), int(lat[0])
+    s = 0
+    for k in range(len(lon) - 1):
+        s += ((int(lon[k]) - x0) * (int(lat[k + 1]) - y0)
+              - (int(lat[k]) - y0) * (int(lon[k + 1]) - x0))
+    return -s
+
+
+def _check_parts(lon, lat, n_pieces, roles=None):
+    ps = V.make_valid_parts(np.asarray(lon, np.int64),
+                            np.asarray(lat, np.int64))
+    assert len(ps) == n_pieces, [p["role"] for p in ps]
+    if roles is not None:
+        assert [p["role"] for p in ps] == roles
+    # every piece is a valid simple ring
+    for p in ps:
+        assert V.is_valid_ring(p["lon"], p["lat"]), p
+    # conservation: sum of signed piece areas == input shoelace exactly
+    got = sum(p["area2_raw"] for p in ps)
+    assert got == pytest.approx(_shoelace2(lon, lat), abs=1e-6)
+    return ps
+
+
+def test_make_valid_parts_valid_passthrough():
+    ps = _check_parts(SQ_LON, SQ_LAT, 1, ["outer"])
+    assert np.array_equal(ps[0]["lon"], SQ_LON)
+    assert np.array_equal(ps[0]["lat"], SQ_LAT)
+
+
+def test_make_valid_parts_bowtie():
+    # transversal crossing at (5,5): two lobes, opposite winding
+    ps = _check_parts([0, 10, 0, 10, 0], [0, 0, 10, 10, 0],
+                      2, ["outer", "outer"])
+    a, b = (p["area2_raw"] for p in ps)
+    assert a == -b and abs(a) == 50.0
+
+
+def test_make_valid_parts_pinch_and_spike():
+    # pinched at the revisited origin vertex -> two triangles
+    _check_parts([0, 10, 10, 0, -10, -10, 0],
+                 [0, 0, 10, 0, 0, -10, 0], 2, ["outer", "outer"])
+    # spike arm -> dropped zero-area cycle, square survives
+    ps = _check_parts([0, 10, 10, 10, 10, 0, 0],
+                      [0, 0, 5, 9, 5, 5, 0], 1, ["outer"])
+    assert abs(ps[0]["area2_raw"]) == 100.0
+
+
+def test_make_valid_parts_contained_loops():
+    # pinched inner loop, same winding -> even-odd hole
+    ps = _check_parts([0, 12, 12, 0, 0, 8, 8, 4, 4, 0, 0],
+                      [0, 0, 12, 12, 4, 4, 8, 8, 4, 4, 0],
+                      2, ["outer", "hole"])
+    assert ps[1]["parent"] == 0
+    # transversal self-crossing with a contained tail loop
+    _check_parts([0, 12, 12, 6, 6, 9, 9, 3, 3, 0, 0],
+                 [0, 0, 12, 12, 3, 3, 9, 9, 6, 6, 0],
+                 2, ["outer", "hole"])
+    # triple nest: outer / hole / island-in-hole
+    ps = _check_parts(
+        [0, 20, 20, 0, 0, 16, 16, 4, 4, 0, 0, 12, 12, 8, 8, 0, 0],
+        [0, 0, 20, 20, 2, 2, 18, 18, 2, 2, 4, 4, 16, 16, 4, 4, 0], 3)
+    assert sorted(p["role"] for p in ps) == ["hole", "outer", "outer"]
+
+
+def test_make_valid_parts_conservation_fuzz():
+    """Random closed walks: every repaired piece must be a valid ring
+    and the signed-area sum must be conserved exactly."""
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        n = int(rng.integers(3, 12))
+        lon = rng.integers(-50, 51, n).astype(np.int64) * 1000
+        lat = rng.integers(-50, 51, n).astype(np.int64) * 1000
+        lon = np.append(lon, lon[0])
+        lat = np.append(lat, lat[0])
+        ps = V.make_valid_parts(lon, lat)
+        got = sum(p["area2_raw"] for p in ps)
+        assert got == pytest.approx(float(_shoelace2(lon, lat)), abs=1e-3), \
+            (trial, lon.tolist(), lat.tolist())
+        for p in ps:
+            assert len(p["lon"]) >= 4
+            assert p["lon"][0] == p["lon"][-1]
+            assert p["lat"][0] == p["lat"][-1]
