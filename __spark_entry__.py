@@ -547,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_validity": oracles.q_polygon_validity(docs, STYLE),
         "make_valid": oracles.q_make_valid_area(docs, STYLE),
         "clip_lines": oracles.q_clip_lines(docs, STYLE),
+        "lowzoom_lines": oracles.q_lowzoom_lines(docs, STYLE, MINZOOM),
         # multipolygons / assembly_errors: rows-only
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -574,11 +575,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         # multimodal_features: rows-only (the fake decoder is a seeded
         # numpy RNG — not SQL-expressible; the Arrow plumbing is
-        # pytest-covered).  multipolygons / assembly_errors /
-        # lowzoom_lines: rows-only (ring assembly WKB and
-        # Douglas-Peucker are iterative geometry — pinned instead by
-        # multipolygons_closed_rings / waynode_errors / kernel tests;
-        # DP's recursive stack has no SQL analogue)
+        # pytest-covered).  multipolygons / assembly_errors: rows-only
+        # (ring-assembly WKB bytes have no SQL analogue — pinned
+        # instead by multipolygons_closed_rings / waynode_errors and
+        # byte-level kernel tests)
         "minhash_signatures": oracles.q_minhash_signatures(n_hashes=8),
         "minhash_lsh_pairs": oracles.q_minhash_lsh_pairs(
             n_hashes=8, bands=4, max_bucket=64),

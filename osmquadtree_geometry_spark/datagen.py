@@ -232,6 +232,19 @@ def scene_parent_tags(s: Scene) -> None:
     rn = s.node(6, 3 * U, 0, {"railway": "buffer_stop"})
     e = s.node(7, 4 * U, 0)
     s.way(12, [rn, e], {"service": "siding", "railway": "rail"})
+    # equal-priority ties -> lowest way id wins (addparenttag.rs
+    # first-way-in-stream): residential vs unclassified are both 11,
+    # and parent_service's empty priority map makes every value 0
+    tn = s.node(8, -3 * U, 0, {"barrier": "gate"})
+    f1 = s.node(9, -4 * U, 0)
+    f2 = s.node(13, -2 * U, 0)
+    s.way(13, [f1, tn], {"highway": "residential"})
+    s.way(14, [tn, f2], {"highway": "unclassified"})
+    rx = s.node(14, 6 * U, 0, {"railway": "level_crossing"})
+    g1 = s.node(15, 5 * U, 0)
+    g2 = s.node(16, 7 * U, 0)
+    s.way(15, [g1, rx], {"service": "driveway"})
+    s.way(16, [rx, g2], {"service": "yard"})
 
 
 def scene_relation_tags(s: Scene) -> None:
@@ -359,7 +372,7 @@ def docs_for_sf(sf_dir: str) -> int:
     return 220
 
 
-FIXTURE_VERSION = 3  # v3: scene_invalid_polygons (make_valid targets)
+FIXTURE_VERSION = 4  # v4: parent-tag equal-priority tie fixtures
 
 
 def generate_docs_parquet(out_path: str, n_docs: int) -> str:

@@ -11,9 +11,10 @@ as tag ``k``.
 Batch rebuild: explode way refs -> join candidate nodes ->
 ``max_by(value, priority)`` per (node, spec key) -> left-join back and
 ``map_concat``.  Tie-break: the reference keeps the FIRST way seen in
-tile-stream order on equal priority (`addparenttag.rs:108-112`) —
-order-dependent; we use the deterministic (priority DESC, value DESC)
-so reruns are stable (documented divergence; fixtures avoid ties).
+tile-stream order on equal priority (`addparenttag.rs:108-112`);
+blocks stream sorted by id (T1), so first == lowest way id — we
+tie-break ``(priority DESC, way_id ASC)``, which reproduces the
+reference's pick deterministically and order-free.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ def parent_tag_rows(nodes: DataFrame, ways: DataFrame,
             w = w.withColumn("prio", F.lit(0))
         c = (w.select(F.explode("refs").alias("node_id"),
                       F.col("tags")[sp.way_key].alias("val"),
-                      "prio")
+                      "prio", F.col("id").alias("way_id"))
              .withColumn("spec_key", F.lit(spec_key))
              .withColumn("node_keys", F.array(*[F.lit(k) for k in sp.node_keys])))
         contribs.append(c)
@@ -55,7 +56,7 @@ def parent_tag_rows(nodes: DataFrame, ways: DataFrame,
     j = (allc.join(cand, "node_id")
          .where(F.arrays_overlap("node_keys", "nkeys")))
     return (j.groupBy("node_id", "spec_key")
-            .agg(F.expr("max_by(val, struct(prio, val))").alias("val")))
+            .agg(F.expr("max_by(val, struct(prio, -way_id))").alias("val")))
 
 
 def add_parent_tags(nodes: DataFrame, ways: DataFrame,

@@ -28,27 +28,27 @@ def base_ctes(docs_path: str) -> str:
     return f"""
 sp AS (SELECT doc_id, unnest(spans) AS s FROM read_parquet({_lit(docs_path)})),
 nd AS (SELECT doc_id,
-              cast(regexp_extract(s.text, 'id=(-?\\d+)', 1) AS bigint) AS id,
-              cast(regexp_extract(s.text, 'lon=(-?\\d+)', 1) AS int) AS lon,
-              cast(regexp_extract(s.text, 'lat=(-?\\d+)', 1) AS int) AS lat,
-              cast(regexp_extract(s.text, 'ver=(\\d+)', 1) AS int) AS version,
-              cast(regexp_extract(s.text, 'ts=(\\d+)', 1) AS bigint) AS ts
+              try_cast(regexp_extract(s.text, 'id=(-?\\d+)', 1) AS bigint) AS id,
+              try_cast(regexp_extract(s.text, 'lon=(-?\\d+)', 1) AS int) AS lon,
+              try_cast(regexp_extract(s.text, 'lat=(-?\\d+)', 1) AS int) AS lat,
+              try_cast(regexp_extract(s.text, 'ver=(\\d+)', 1) AS int) AS version,
+              try_cast(regexp_extract(s.text, 'ts=(\\d+)', 1) AS bigint) AS ts
        FROM sp WHERE s.kind = 'node'),
 wr AS (SELECT doc_id,
-              cast(regexp_extract(s.text, 'way=(-?\\d+)', 1) AS bigint) AS way,
-              cast(regexp_extract(s.text, 'pos=(-?\\d+)', 1) AS int) AS pos,
-              cast(regexp_extract(s.text, 'ref=(-?\\d+)', 1) AS bigint) AS ref
+              try_cast(regexp_extract(s.text, 'way=(-?\\d+)', 1) AS bigint) AS way,
+              try_cast(regexp_extract(s.text, 'pos=(-?\\d+)', 1) AS int) AS pos,
+              try_cast(regexp_extract(s.text, 'ref=(-?\\d+)', 1) AS bigint) AS ref
        FROM sp WHERE s.kind = 'way_ref'),
 rm AS (SELECT doc_id,
-              cast(regexp_extract(s.text, 'rel=(-?\\d+)', 1) AS bigint) AS rel,
-              cast(regexp_extract(s.text, 'pos=(-?\\d+)', 1) AS int) AS pos,
+              try_cast(regexp_extract(s.text, 'rel=(-?\\d+)', 1) AS bigint) AS rel,
+              try_cast(regexp_extract(s.text, 'pos=(-?\\d+)', 1) AS int) AS pos,
               regexp_extract(s.text, 'type=(\\w+)', 1) AS mem_type,
-              cast(regexp_extract(s.text, 'ref=(-?\\d+)', 1) AS bigint) AS ref,
+              try_cast(regexp_extract(s.text, 'ref=(-?\\d+)', 1) AS bigint) AS ref,
               regexp_extract(s.text, 'role=(\\w*)$', 1) AS role
        FROM sp WHERE s.kind = 'rel_member'),
 tg AS (SELECT doc_id,
               regexp_extract(s.text, 'elem=(\\w+)', 1) AS elem,
-              cast(regexp_extract(s.text, ';id=(-?\\d+)', 1) AS bigint) AS id,
+              try_cast(regexp_extract(s.text, ';id=(-?\\d+)', 1) AS bigint) AS id,
               regexp_extract(s.text, ';k=([^;]*)', 1) AS k,
               regexp_extract(s.text, ';v=(.*)$', 1) AS v
        FROM sp WHERE s.kind = 'tag')
@@ -192,6 +192,88 @@ ar AS (SELECT way, -0.5 * sum(c) AS signed_area FROM cr GROUP BY way)
 SELECT way AS id, round(abs(signed_area), 2) AS area,
        signed_area < 0 AS reversed
 FROM ar"""
+
+
+def q_lowzoom_lines(docs_path: str, style: GeometryStyle,
+                    spec: MinZoomSpec, zoom: int = 8) -> str:
+    """T5 lowzoom oracle: line minzoom filter + Douglas–Peucker point
+    counts via a RECURSIVE CTE — each row is an interval (a, b) with
+    its endpoint mercator coords; the LATERAL argmax picks the
+    interior point with max perpendicular deviation (first index on
+    ties, matching numpy argmax) and splits when it exceeds the z8
+    pixel tolerance.  Kept points = the distinct interval endpoints.
+    Closed rings simplify on their open form and re-close (+1 point),
+    collapsing to 0 below 3 kept points; lines with <= 2 open points
+    pass through untouched (kernels/validity.py simplify)."""
+    from .kernels.mercator import EARTH_WIDTH as EW
+    tol = EW * 2.0 / (2 ** zoom) / 256.0
+    exact = [((k, v), z) for (k, v), z in spec.lines.items() if v != "*"]
+    stars = [(k, z) for (k, v), z in spec.lines.items() if v == "*"]
+    e_cases = " ".join(f"WHEN tg.k = {_lit(k)} AND tg.v = {_lit(v)} THEN {z}"
+                       for (k, v), z in exact) or "WHEN false THEN 0"
+    s_cases = " ".join(f"WHEN tg.k = {_lit(k)} THEN {z}"
+                       for k, z in stars) or "WHEN false THEN 0"
+    mz = (f"(SELECT min(coalesce(CASE {e_cases} ELSE NULL END, "
+          f"CASE {s_cases} ELSE NULL END)) FROM tg "
+          f"WHERE tg.elem = 'way' AND tg.id = lines.way)")
+    is_poly = polygon_match(style, "wstat.way")
+    seg = "sqrt((s.bx-s.ax)*(s.bx-s.ax) + (s.by-s.ay)*(s.by-s.ay))"
+    dist = (f"CASE WHEN {seg} = 0 "
+            f"THEN sqrt((p.x-s.ax)*(p.x-s.ax) + (p.y-s.ay)*(p.y-s.ay)) "
+            f"ELSE abs((s.bx-s.ax)*(s.ay-p.y) - (s.ax-p.x)*(s.by-s.ay)) "
+            f"/ {seg} END")
+    return f"""WITH RECURSIVE {base_ctes(docs_path)}, {_way_pts(style)},
+lz AS (
+  SELECT way, {mz} AS minzoom FROM (
+    SELECT wstat.way FROM wstat
+    WHERE wstat.way IN (SELECT way FROM wok)
+      AND {feature_exists(style, 'way', 'wstat.way')}
+      AND NOT (wstat.f = wstat.l AND {is_poly})) lines
+  ) ,
+lzf AS (SELECT way, minzoom FROM lz
+        WHERE minzoom IS NOT NULL AND minzoom <= {zoom}),
+meta AS (SELECT wp.way, count(*) AS n,
+                min_by(wp.lon, wp.pos) AS flon, min_by(wp.lat, wp.pos) AS flat,
+                max_by(wp.lon, wp.pos) AS llon, max_by(wp.lat, wp.pos) AS llat
+         FROM wp JOIN lzf ON wp.way = lzf.way GROUP BY wp.way),
+meta2 AS (SELECT way, n, (flon = llon AND flat = llat) AS closed,
+                 CASE WHEN flon = llon AND flat = llat THEN n - 1 ELSE n END
+                   AS m
+          FROM meta),
+splits(way, a, b, ax, ay, bx, by) AS (
+  SELECT m2.way, 0, m2.m - 1,
+         (SELECT x FROM wp WHERE wp.way = m2.way AND wp.pos = 0),
+         (SELECT y FROM wp WHERE wp.way = m2.way AND wp.pos = 0),
+         (SELECT x FROM wp WHERE wp.way = m2.way AND wp.pos = m2.m - 1),
+         (SELECT y FROM wp WHERE wp.way = m2.way AND wp.pos = m2.m - 1)
+  FROM meta2 m2 WHERE m2.m > 2
+  UNION ALL
+  SELECT s.way,
+         CASE WHEN v.side = 0 THEN s.a ELSE mx.k END,
+         CASE WHEN v.side = 0 THEN mx.k ELSE s.b END,
+         CASE WHEN v.side = 0 THEN s.ax ELSE mx.px END,
+         CASE WHEN v.side = 0 THEN s.ay ELSE mx.py END,
+         CASE WHEN v.side = 0 THEN mx.px ELSE s.bx END,
+         CASE WHEN v.side = 0 THEN mx.py ELSE s.by END
+  FROM splits s
+  JOIN LATERAL (
+    SELECT p.pos AS k, p.x AS px, p.y AS py, {dist} AS d
+    FROM wp p WHERE p.way = s.way AND p.pos > s.a AND p.pos < s.b
+    ORDER BY d DESC, p.pos ASC LIMIT 1
+  ) mx ON mx.d > {tol!r}
+  CROSS JOIN (VALUES (0), (1)) v(side)
+),
+kept AS (SELECT way, count(DISTINCT u) AS kn
+         FROM (SELECT way, unnest([a, b]) AS u FROM splits) GROUP BY way)
+SELECT m2.way AS id, CAST(lzf.minzoom AS BIGINT) AS minzoom,
+       CAST(m2.n AS INT) AS n_points_before,
+       CAST(CASE WHEN m2.m <= 2 THEN m2.n
+                 WHEN NOT m2.closed THEN kept.kn
+                 WHEN kept.kn >= 3 THEN kept.kn + 1
+                 ELSE 0 END AS INT) AS n_points_after
+FROM meta2 m2
+JOIN lzf ON lzf.way = m2.way
+LEFT JOIN kept ON kept.way = m2.way"""
 
 
 def q_make_valid_area(docs_path: str, style: GeometryStyle) -> str:
@@ -389,11 +471,14 @@ def _parent_tag_union(style: GeometryStyle) -> str:
             prio = f"(CASE wt.v {cases} ELSE NULL END)"
         else:
             prio = "0"
+        # tie-break (priority DESC, way_id ASC) == reference's
+        # first-way-in-stream pick; scalar key since DuckDB max_by
+        # takes no struct (prio <= ~1e3, way ids < 1e13 in fixtures)
         parts.append(f"""
 SELECT node_id, {_lit(spec_key)} AS spec_key,
-       max_by(val, lpad(cast(prio AS varchar), 10, '0') || '|' || val) AS val
+       max_by(val, CAST(prio AS BIGINT) * 10000000000000 - way_id) AS val
 FROM (
-  SELECT wr.ref AS node_id, wt.v AS val, {prio} AS prio
+  SELECT wr.ref AS node_id, wr.way AS way_id, wt.v AS val, {prio} AS prio
   FROM wr
   JOIN tg wt ON wt.elem = 'way' AND wt.id = wr.way AND wt.k = {_lit(sp.way_key)}
   WHERE EXISTS (SELECT 1 FROM tg nt WHERE nt.elem = 'node'
@@ -405,7 +490,8 @@ GROUP BY node_id""")
 
 def q_parent_tags(docs_path: str, style: GeometryStyle) -> str:
     """Node-level parent tags (J3) — one row per (node, spec_key);
-    tie-break (priority DESC, value DESC) as documented."""
+    tie-break (priority DESC, way_id ASC), the reference's
+    first-way-in-stream pick (`addparenttag.rs:108-112`)."""
     return f"""WITH {base_ctes(docs_path)}
 SELECT * FROM ({_parent_tag_union(style)}) ORDER BY node_id, spec_key"""
 

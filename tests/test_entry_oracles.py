@@ -68,6 +68,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "polygon_validity": oracles.q_polygon_validity(docs, style),
         "make_valid": oracles.q_make_valid_area(docs, style),
         "clip_lines": oracles.q_clip_lines(docs, style),
+        "lowzoom_lines": oracles.q_lowzoom_lines(docs, style, mz),
     })
     return out
 
@@ -93,7 +94,7 @@ ORACLE_QUERIES = [
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "multipolygons_closed_rings", "waynode_errors",
-    "make_valid", "clip_lines",
+    "make_valid", "clip_lines", "lowzoom_lines",
 ]
 
 
@@ -110,8 +111,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 
 
 ROWS_ONLY_QUERIES = [
-    "multipolygons", "assembly_errors",
-    "multimodal_features", "lowzoom_lines",
+    "multipolygons", "assembly_errors", "multimodal_features",
 ]
 
 
