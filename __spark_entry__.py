@@ -318,6 +318,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.8)
 
 
+def q_jaccard_lsh(spark, sf_dir):
+    """Unblocked near-dup scale path: MinHash-LSH candidates verified
+    by exact shingle Jaccard (the approxSimilarityJoin pattern)."""
+    from osmquadtree_geometry_spark.dedup import jaccard_lsh_pairs
+    d = spark.read.parquet(_sf(sf_dir, "documents"))
+    return jaccard_lsh_pairs(d, threshold=0.8, n_hashes=16, bands=4)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from osmquadtree_geometry_spark.dedup import embedding_near_dup_pairs
     emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
@@ -500,6 +508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "jaccard_lsh": q_jaccard_lsh,
     "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
@@ -585,6 +594,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.q_simhash(),
         "simhash_pairs": oracles.q_simhash_pairs(max_hamming=3),
         "ngram_jaccard": oracles.q_ngram_jaccard(threshold=0.8),
+        "jaccard_lsh": oracles.q_jaccard_lsh(threshold=0.8, n_hashes=16,
+                                             bands=4),
         "embedding_near_dup": oracles.q_embedding_near_dup(
             threshold=0.35, dim=64),
         "quality_score": oracles.q_quality_score(

@@ -59,9 +59,19 @@ def _distinct_text_keepers(docs: DataFrame, text_col: str) -> DataFrame:
     """Exact-dedup-first: one keeper (min doc_id) per distinct text.
     Exact duplicates share EVERY band/chunk, so feeding them to LSH
     turns each duplicate family into an O(n²) mega-bucket; collapsing
-    them first bounds bucket sizes by *near*-duplicate density."""
-    return (docs.groupBy(text_col)
-            .agg(F.min("doc_id").alias("doc_id")))
+    them first bounds bucket sizes by *near*-duplicate density.
+
+    The output is explicitly hash-repartitioned on doc_id: the
+    signature/fingerprint projections downstream are CPU-dense
+    (per-shingle hashing folds), and AQE's size-based post-shuffle
+    coalescing would otherwise funnel a few MB of text — hours of
+    interpreted higher-order-function CPU — into ONE partition.
+    An explicit repartition is exempt from AQE coalescing, and its
+    shuffle cost is the text we already shuffled for the groupBy."""
+    out = (docs.groupBy(text_col)
+           .agg(F.min("doc_id").alias("doc_id")))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return out.repartition(par, "doc_id")
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
@@ -78,7 +88,8 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     its O(n²) in-bucket self-join would dominate the job)."""
     rows_per_band = n_hashes // bands
     uniq = _distinct_text_keepers(docs, text_col)
-    sig = minhash_signatures(uniq, n_hashes, shingle, text_col)
+    # persist: feeds both the bucket-size agg and the a/b self-join
+    sig = minhash_signatures(uniq, n_hashes, shingle, text_col).persist()
     banded = sig.select(
         "doc_id",
         F.posexplode(F.expr(
@@ -144,7 +155,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     uniq = _distinct_text_keepers(docs, text_col)
-    s = simhash(uniq, bits, shingle, text_col)
+    # persist: the a/b self-join below would otherwise recompute the
+    # whole per-shingle fold twice (alias-renamed exchanges don't
+    # canonicalize equal, so ReuseExchange never kicks in)
+    s = simhash(uniq, bits, shingle, text_col).persist()
     chunks = s.select(
         "doc_id", "simhash",
         F.posexplode(F.expr(
@@ -169,9 +183,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """Exact n-gram Jaccard similarity for pairs within a blocking key
     (full cross-products don't scale; block by ``source`` — swap in
     LSH buckets from minhash_lsh_pairs for the unblocked path)."""
-    sh = docs.select("doc_id", F.col(block_col).alias("blk"),
-                     F.expr(f"array_distinct({_shingles(text_col, shingle)})")
-                     .alias("sh"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (docs.repartition(par, "doc_id")  # parallelize the shingling
+          .select("doc_id", F.col(block_col).alias("blk"),
+                  F.expr(f"array_distinct({_shingles(text_col, shingle)})")
+                  .alias("sh"))).persist()  # reused by both join sides
     a = sh.select(F.col("doc_id").alias("a"), "blk", F.col("sh").alias("sha"))
     b = sh.select(F.col("doc_id").alias("b"), "blk", F.col("sh").alias("shb"))
     j = (a.join(b, "blk").where(F.col("a") < F.col("b"))
@@ -180,6 +196,36 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
          .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
          .where(F.col("jaccard") >= threshold))
     return j.select("a", "b", "jaccard")
+
+
+def jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      shingle: int = 3, n_hashes: int = 16, bands: int = 4,
+                      max_bucket: int = 64, text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs — the
+    scale path for unblocked near-dup detection (the pattern behind
+    Spark MLlib's ``approxSimilarityJoin``): LSH banding bounds the
+    candidate set (no all-pairs anywhere), then each candidate pair is
+    verified with the exact shingle Jaccard.  Recall is the standard
+    LSH band guarantee; ``ngram_jaccard_pairs`` remains the exact
+    all-pairs tool for small explicit blocks."""
+    cand = (minhash_lsh_pairs(docs, n_hashes, bands, shingle,
+                              text_col, max_bucket)
+            .select("a", "b"))
+    uniq = _distinct_text_keepers(docs, text_col)
+    sh = uniq.select(
+        "doc_id",
+        F.expr(f"array_distinct({_shingles(text_col, shingle)})").alias("sh")
+    ).persist()  # joined twice (a side and b side)
+    return (cand
+            .join(sh.select(F.col("doc_id").alias("a"),
+                            F.col("sh").alias("sha")), "a")
+            .join(sh.select(F.col("doc_id").alias("b"),
+                            F.col("sh").alias("shb")), "b")
+            .withColumn("inter", F.expr("size(array_intersect(sha, shb))"))
+            .withColumn("uni", F.expr("size(array_union(sha, shb))"))
+            .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,

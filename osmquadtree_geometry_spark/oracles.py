@@ -1028,6 +1028,39 @@ SELECT a, b, bit_count(xor(ha, hb))::bigint AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
 
 
+def q_jaccard_lsh(threshold: float = 0.8, shingle: int = 3,
+                  n_hashes: int = 16, bands: int = 4,
+                  max_bucket: int = 64) -> str:
+    """Mirror of dedup.jaccard_lsh_pairs: MinHash-LSH candidates
+    (distinct-text keepers, band buckets, size cap) verified by exact
+    shingle Jaccard."""
+    sh = _shingles_dd(shingle)
+    rpb = n_hashes // bands
+    comps = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5(s || '#' || {i})))"
+        for i in range(n_hashes))
+    jac = ("len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::double / "
+           "len(list_distinct(list_concat(sa.sh, sb.sh)))")
+    return f"""
+WITH uniq AS {_KEEPERS},
+sig AS (SELECT doc_id, [{comps}] AS sig FROM uniq),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sig[b * {rpb} + 1 : (b + 1) * {rpb}], '|')) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS b)),
+sized AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+          HAVING count(*) BETWEEN 2 AND {max_bucket}),
+kept AS (SELECT banded.* FROM banded JOIN sized USING (band, bucket)),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM kept a JOIN kept b
+           ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id),
+shg AS (SELECT doc_id, list_distinct({sh}) AS sh FROM uniq)
+SELECT c.a, c.b, round({jac}, 6) AS jaccard
+FROM cand c JOIN shg sa ON sa.doc_id = c.a JOIN shg sb ON sb.doc_id = c.b
+WHERE round({jac}, 6) >= {threshold}"""
+
+
 def q_ngram_jaccard(threshold: float = 0.8, shingle: int = 3) -> str:
     """Mirror of dedup.ngram_jaccard_pairs (blocked by ``source``)."""
     sh = _shingles_dd(shingle)

@@ -90,7 +90,8 @@ ORACLE_QUERIES = [
     "lineitem_agg", "top_customers", "dedup_exact", "token_stats",
     "minhash_signatures", "simhash", "language_id", "token_counts",
     "fingerprint", "embedding_topk", "events_rollup", "sessionize",
-    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "quality_score",
+    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "jaccard_lsh",
+    "quality_score",
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "multipolygons_closed_rings", "waynode_errors",
