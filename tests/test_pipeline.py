@@ -123,20 +123,21 @@ def test_relation_tags(result):
 
 def test_minzoom_and_qt_round(result):
     from osmquadtree_geometry_spark.kernels import quadtree as qt
-    # doc 8 (scene_minzoom): place=city node 8001 -> minzoom 6
+    # doc 8 (scene_minzoom): place=city node 8001 -> minzoom 4
+    # (reference default_minzoom_values.rs row `0,place,city,4`)
     row = result.points.where(F.col("id") == 8001).first()
-    assert row.minzoom == 6
-    assert int(qt.depth(np.asarray([row.quadtree]))[0]) == 6
-    # exact rule: place=hamlet -> 13 (widened table)
+    assert row.minzoom == 4
+    assert int(qt.depth(np.asarray([row.quadtree]))[0]) == 4
+    # exact rule: place=hamlet -> 15
     row2 = result.points.where(F.col("id") == 8002).first()
-    assert row2.minzoom == 13
+    assert row2.minzoom == 15
     # polygons: SQL minzoom must equal the transcribed python spec
     spec = MinZoomSpec.default()
     for pid in (8030, 8050):
         b = result.simple_polygons.where(F.col("id") == pid).first()
         expected = spec.find_polygon(dict(b.tags), b.area)
         assert b.minzoom == expected, (pid, b.area, b.minzoom, expected)
-    # tiny shed: area floor pulls zoom ABOVE the building tag zoom (14)
+    # tiny shed: area floor pulls zoom ABOVE the building tag zoom (12)
     b = result.simple_polygons.where(F.col("id") == 8030).first()
     assert b.minzoom > 14
 
