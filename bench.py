@@ -348,7 +348,15 @@ def main() -> None:
     if "--scaling" in sys.argv:
         summary = run_scaling()
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        # preserve the hand-written analysis section across re-runs
+        analysis = ""
+        if os.path.exists(md_path):
+            old = open(md_path).read()
+            idx = old.find("## Analysis")
+            if idx >= 0:
+                analysis = "\n" + old[idx:]
+        with open(md_path, "w") as f:
             f.write("# BENCH/BASELINE — scaling evidence\n\n")
             f.write("Identical geometry-pipeline job, identical input, two "
                     "parallelism levels (north-rule protocol: N vs 4N "
@@ -359,6 +367,7 @@ def main() -> None:
             ok = summary["scaling_efficiency"] >= 0.8
             f.write(f"\nEfficiency target >= 0.8: "
                     f"{'MET' if ok else 'NOT MET'}\n")
+            f.write(analysis)
         print(json.dumps(summary))
         return
     print(json.dumps(run_headline()))

@@ -40,38 +40,45 @@ class RelationTagSpec:
 PolyTagSpec = tuple
 
 
+# The four default tables below are row-for-row transcriptions of the
+# reference's embedded default style (`default_style.rs:1-248`) — like
+# the minzoom table, this is exact-match DATA both engines must share
+# for output parity (feature selection, polygon detection, z_order,
+# and parent-tag priorities all flow from it).
+
 DEFAULT_FEATURE_KEYS = [
-    "aerialway", "aeroway", "amenity", "barrier", "boundary", "building",
-    "craft", "emergency", "highway", "historic", "landuse", "leisure",
-    "man_made", "military", "natural", "office", "place", "power",
-    "railway", "route", "shop", "sport", "tourism", "tunnel", "water",
-    "waterway", "wetland", "addr:housenumber",
+    "aerialway", "aeroway", "amenity", "barrier", "boundary", "bridge",
+    "building", "construction", "embankment", "highway", "historic",
+    "junction", "landuse", "leisure", "lock", "man_made", "military",
+    "natural", "place", "power", "railway", "route", "service", "shop",
+    "tourism", "tunnel", "water", "waterway",
 ]
 
 DEFAULT_POLYGON_TAGS: dict[str, PolyTagSpec] = {
-    "building": ("exclude", ["no"]),
-    "landuse": ("all", None),
-    "leisure": ("exclude", ["slipway", "track"]),
-    "natural": ("exclude", ["coastline", "cliff", "ridge", "tree_row"]),
+    "aeroway": ("exclude", ["taxiway"]),
     "amenity": ("all", None),
-    "area": ("include", ["yes"]),
-    "aeroway": ("exclude", ["taxiway", "runway"]),
+    "area": ("all", None),
+    "area:highway": ("all", None),
+    "barrier": ("include", ["city_wall", "ditch", "wall", "spikes"]),
     "boundary": ("all", None),
-    "highway": ("include", ["pedestrian", "services", "rest_area", "platform"]),
+    "building": ("all", None),
+    "building:part": ("all", None),
+    "golf": ("all", None),
+    "highway": ("include", ["services", "rest_area", "escape", "elevator"]),
     "historic": ("all", None),
-    "landcover": ("all", None),
+    "landuse": ("all", None),
+    "leisure": ("all", None),
     "man_made": ("exclude", ["cutline", "embankment", "pipeline"]),
     "military": ("all", None),
+    "natural": ("exclude", ["coastline", "cliff", "ridge", "arete", "tree_row"]),
     "office": ("all", None),
     "place": ("all", None),
     "power": ("include", ["plant", "substation", "generator", "transformer"]),
+    "public_transport": ("all", None),
     "railway": ("include", ["station", "turntable", "roundhouse", "platform"]),
     "shop": ("all", None),
-    "sport": ("all", None),
     "tourism": ("all", None),
-    "water": ("all", None),
     "waterway": ("include", ["riverbank", "dock", "boatyard", "dam"]),
-    "wetland": ("all", None),
 }
 
 DEFAULT_Z_ORDER: dict[str, dict[str, int]] = {
@@ -87,7 +94,8 @@ DEFAULT_Z_ORDER: dict[str, dict[str, int]] = {
     },
     "railway": {
         "rail": 440, "subway": 420, "narrow_gauge": 420, "light_rail": 420,
-        "funicular": 420, "monorail": 420, "tram": 410, "disused": 400,
+        "funicular": 420, "preserved": 420, "monorail": 420,
+        "miniature": 420, "turntable": 420, "tram": 410, "disused": 400,
         "construction": 400, "platform": 90,
     },
     "aeroway": {"runway": 60, "taxiway": 50},
@@ -95,17 +103,21 @@ DEFAULT_Z_ORDER: dict[str, dict[str, int]] = {
 
 DEFAULT_PARENT_TAGS: dict[str, ParentTagSpec] = {
     "parent_highway": ParentTagSpec(
-        node_keys=["highway", "crossing", "traffic_calming", "barrier"],
+        node_keys=["highway", "railway"],
         way_key="highway",
         way_priority={
-            "motorway": 16, "trunk": 15, "primary": 14, "secondary": 13,
-            "tertiary": 12, "residential": 11, "unclassified": 11,
-            "living_street": 10, "service": 9, "pedestrian": 8, "track": 7,
-            "footway": 6, "path": 6, "cycleway": 6, "steps": 5,
+            "footway": 0, "cycleway": 1, "bridleway": 2, "path": 3,
+            "steps": 4, "pedestrian": 5, "service": 6, "track": 7,
+            "byway": 8, "living_street": 9, "residential": 10,
+            "road": 11, "unclassified": 12, "tertiary": 13,
+            "tertiary_link": 14, "secondary": 15, "secondary_link": 16,
+            "primary": 17, "primary_link": 18, "trunk": 19,
+            "trunk_link": 20, "motorway": 21, "motorway_link": 22,
+            "siding": 23, "rail": 24,
         },
     ),
     "parent_service": ParentTagSpec(
-        node_keys=["railway"],
+        node_keys=["highway"],
         way_key="service",
         way_priority={},
     ),

@@ -228,23 +228,31 @@ def scene_parent_tags(s: Scene) -> None:
     d = s.node(5, 0, U)
     s.way(10, [a, stop, b], {"highway": "residential"})
     s.way(11, [c, stop, d], {"highway": "primary"})
-    # railway node on a service way
-    rn = s.node(6, 3 * U, 0, {"railway": "buffer_stop"})
+    # highway node on a service way -> parent_service (node_keys
+    # [highway] per default_style.rs parent_service)
+    rn = s.node(6, 3 * U, 0, {"highway": "crossing"})
     e = s.node(7, 4 * U, 0)
     s.way(12, [rn, e], {"service": "siding", "railway": "rail"})
     # equal-priority ties -> lowest way id wins (addparenttag.rs
-    # first-way-in-stream): residential vs unclassified are both 11,
-    # and parent_service's empty priority map makes every value 0
-    tn = s.node(8, -3 * U, 0, {"barrier": "gate"})
+    # first-way-in-stream): parent_service's empty priority map makes
+    # every value priority 0, so the way id decides
+    tn = s.node(8, -3 * U, 0, {"highway": "give_way"})
     f1 = s.node(9, -4 * U, 0)
     f2 = s.node(13, -2 * U, 0)
-    s.way(13, [f1, tn], {"highway": "residential"})
-    s.way(14, [tn, f2], {"highway": "unclassified"})
-    rx = s.node(14, 6 * U, 0, {"railway": "level_crossing"})
+    s.way(13, [f1, tn], {"service": "driveway"})
+    s.way(14, [tn, f2], {"service": "yard"})
+    rx = s.node(14, 6 * U, 0, {"highway": "stop"})
     g1 = s.node(15, 5 * U, 0)
     g2 = s.node(16, 7 * U, 0)
-    s.way(15, [g1, rx], {"service": "driveway"})
-    s.way(16, [rx, g2], {"service": "yard"})
+    s.way(15, [g1, rx], {"service": "alley"})
+    s.way(16, [rx, g2], {"service": "parking_aisle"})
+    # railway-keyed node inherits parent_highway (node_keys include
+    # railway); track(7) beats service(6) on the priority ladder
+    rw = s.node(17, 9 * U, 0, {"railway": "buffer_stop"})
+    h1 = s.node(18, 8 * U, 0)
+    h2 = s.node(19, 10 * U, 0)
+    s.way(17, [h1, rw], {"highway": "service"})
+    s.way(18, [rw, h2], {"highway": "track"})
 
 
 def scene_relation_tags(s: Scene) -> None:
@@ -372,7 +380,7 @@ def docs_for_sf(sf_dir: str) -> int:
     return 220
 
 
-FIXTURE_VERSION = 4  # v4: parent-tag equal-priority tie fixtures
+FIXTURE_VERSION = 5  # v5: reference default_style parent-tag fixtures
 
 
 def generate_docs_parquet(out_path: str, n_docs: int) -> str:

@@ -104,9 +104,18 @@ def test_parent_tags(result):
     # doc 5 (scene_parent_tags): bus stop node 5001 on residential+primary
     row = result.points.where(F.col("id") == 5001).first()
     assert row.tags.get("parent_highway") == "primary"
-    # railway node on service way: empty priority map -> prio 0
+    # highway node on service way (parent_service node_keys=[highway])
     row2 = result.points.where(F.col("id") == 5006).first()
     assert row2.tags.get("parent_service") == "siding"
+    # equal-priority (empty map) tie -> lowest way id wins, matching
+    # the reference's first-way-in-stream pick
+    row3 = result.points.where(F.col("id") == 5008).first()
+    assert row3.tags.get("parent_service") == "driveway"
+    row4 = result.points.where(F.col("id") == 5014).first()
+    assert row4.tags.get("parent_service") == "alley"
+    # railway-keyed node inherits parent_highway: track(7) > service(6)
+    row5 = result.points.where(F.col("id") == 5017).first()
+    assert row5.tags.get("parent_highway") == "track"
 
 
 def test_relation_tags(result):
