@@ -326,6 +326,16 @@ def q_jaccard_lsh(spark, sf_dir):
     return jaccard_lsh_pairs(d, threshold=0.8, n_hashes=16, bands=4)
 
 
+def q_embedding_lsh_near_dup(spark, sf_dir):
+    """Unblocked embedding near-dup: hyperplane-LSH candidates +
+    exact cosine verification (same threshold rationale as
+    embedding_near_dup)."""
+    from osmquadtree_geometry_spark.dedup import embedding_lsh_near_dup
+    emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
+    return embedding_lsh_near_dup(emb, threshold=0.35, n_planes=4,
+                                  n_tables=4, dim=64)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from osmquadtree_geometry_spark.dedup import embedding_near_dup_pairs
     emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
@@ -509,6 +519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "jaccard_lsh": q_jaccard_lsh,
+    "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
@@ -598,6 +609,8 @@ def oracle_sql() -> dict[str, str]:
                                              bands=4),
         "embedding_near_dup": oracles.q_embedding_near_dup(
             threshold=0.35, dim=64),
+        "embedding_lsh_near_dup": oracles.q_embedding_lsh_near_dup(
+            threshold=0.35, n_planes=4, n_tables=4, dim=64),
         "quality_score": oracles.q_quality_score(
             __import__("osmquadtree_geometry_spark.textops",
                        fromlist=["STOPWORDS"]).STOPWORDS["en"]),

@@ -243,3 +243,45 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                 F.expr(dot) / (F.expr(nrm % "ea") * F.expr(nrm % "eb")), 6))
             .where(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))
+
+
+def embedding_lsh_near_dup(emb: DataFrame, threshold: float = 0.95,
+                           n_planes: int = 8, n_tables: int = 2,
+                           dim: int | None = None,
+                           seed: int = 42) -> DataFrame:
+    """Unblocked embedding near-dup at scale: signed-hyperplane LSH
+    buckets (any of ``n_tables`` tables) produce candidate pairs via
+    an equi-join on (table, bucket) — no cross product anywhere —
+    then exact cosine verifies each candidate.  Recall is the random-
+    hyperplane collision bound; raise ``n_planes`` as the corpus
+    grows so bucket populations stay flat (2^n_planes buckets per
+    table)."""
+    from .similarity import _bucket_expr, _hyperplanes
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        parts.append(emb.select(
+            "vec_id", F.lit(t).alias("tab"),
+            F.expr(_bucket_expr("embedding", planes)).alias("bucket")))
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    e = e.persist()  # both self-join sides
+    cand = (e.select(F.col("vec_id").alias("a"), "tab", "bucket")
+            .join(e.select(F.col("vec_id").alias("b"), "tab", "bucket"),
+                  ["tab", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"
+    nrm = "sqrt(aggregate(%s, 0.0d, (a, v) -> a + cast(v as double) * v))"
+    return (cand
+            .join(emb.select(F.col("vec_id").alias("a"),
+                             F.col("embedding").alias("ea")), "a")
+            .join(emb.select(F.col("vec_id").alias("b"),
+                             F.col("embedding").alias("eb")), "b")
+            .withColumn("cosine", F.round(
+                F.expr(dot) / (F.expr(nrm % "ea") * F.expr(nrm % "eb")), 6))
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))

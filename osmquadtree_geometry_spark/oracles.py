@@ -1165,6 +1165,52 @@ FROM embeddings a JOIN embeddings b
 WHERE {cos} >= {threshold}"""
 
 
+def q_embedding_lsh_near_dup(threshold: float = 0.35, n_planes: int = 4,
+                             n_tables: int = 4, dim: int = 64,
+                             seed: int = 42) -> str:
+    """Mirror of dedup.embedding_lsh_near_dup: the SAME seeded
+    hyperplanes spliced in as literals (left-to-right projection sum,
+    sign near zero must not flip), candidates = distinct bucket-
+    sharing pairs over all tables, exact cosine verification."""
+    from .similarity import _hyperplanes
+
+    def chain(terms) -> str:
+        return " + ".join(terms)
+
+    def bucket(vec: str, planes) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            proj = chain(f"({vec}[{j + 1}]::DOUBLE * {float(c)!r})"
+                         for j, c in enumerate(p))
+            bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
+        return "(" + chain(bits) + ")::bigint"
+
+    e_parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        e_parts.append(f"SELECT vec_id, {t} AS tab, "
+                       f"{bucket('embedding', planes)} AS bucket "
+                       f"FROM embeddings")
+    union = " UNION ALL ".join(e_parts)
+    dot = chain(f"(ea.embedding[{j + 1}]::DOUBLE * eb.embedding[{j + 1}]::DOUBLE)"
+                for j in range(dim))
+    na = chain(f"(ea.embedding[{j + 1}]::DOUBLE * ea.embedding[{j + 1}]::DOUBLE)"
+               for j in range(dim))
+    nb = chain(f"(eb.embedding[{j + 1}]::DOUBLE * eb.embedding[{j + 1}]::DOUBLE)"
+               for j in range(dim))
+    cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    return f"""
+WITH tabs AS ({union}),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM tabs x JOIN tabs y
+           ON x.tab = y.tab AND x.bucket = y.bucket
+         WHERE x.vec_id < y.vec_id)
+SELECT c.a, c.b, {cos} AS cosine
+FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+            JOIN embeddings eb ON eb.vec_id = c.b
+WHERE {cos} >= {threshold}"""
+
+
 def q_events_rollup() -> str:
     return """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -94,7 +94,8 @@ ORACLE_QUERIES = [
     "quality_score",
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
-    "embedding_near_dup", "multipolygons_closed_rings", "waynode_errors",
+    "embedding_near_dup", "embedding_lsh_near_dup",
+    "multipolygons_closed_rings", "waynode_errors",
     "make_valid", "clip_lines", "lowzoom_lines",
 ]
 
