@@ -228,6 +228,57 @@ def q_multipolygons_closed_rings(spark, sf_dir):
         F.round("area", 1).alias("area"))
 
 
+def q_multipolygons_merged(spark, sf_dir):
+    """Ring assembly incl. MERGED rings (open member ways chained into
+    cycles), restricted to the deterministic subclass both engines can
+    compute order-free: all members resolvable ways, >= 1 outer, and
+    every role-group endpoint node shared by at most 2 open ways
+    (degree-3+ junctions are stream-order ambiguous in the reference's
+    greedy merge).  The DuckDB oracle re-derives ring membership with
+    a recursive cycle walk, areas from ±per-way partials, and
+    containment from edge-set pnpoly parity."""
+    from osmquadtree_geometry_spark.operators import sqlgeom
+    from osmquadtree_geometry_spark.operators.multipolygons import (
+        process_multipolygons)
+    from osmquadtree_geometry_spark.operators.waynodes import collect_way_nodes
+    t = _decoded(spark, sf_dir)
+    ways_ll, _ = collect_way_nodes(t["ways"], t["nodes"])
+    ok = ways_ll.select(F.col("id").alias("way_id"), "refs")
+    m = t["relations"].select("id", F.explode("members").alias("m"))
+    stats = m.groupBy("id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("m.mem_type") == "way", 1).otherwise(0))
+        .alias("n_ways"),
+        F.sum(F.when(F.col("m.role") != "inner", 1).otherwise(0))
+        .alias("n_outer"))
+    wm = m.where(F.col("m.mem_type") == "way").join(
+        ok, F.col("m.mem_ref") == F.col("way_id"))
+    resolved = wm.groupBy("id").agg(F.count("*").alias("n_ok"))
+    # endpoint degree over OPEN member ways per (relation, role group)
+    open_ends = (wm.where(~F.expr(sqlgeom.sql_is_ring("refs")))
+                 .select("id",
+                         F.when(F.col("m.role") == "inner", F.lit("i"))
+                         .otherwise(F.lit("o")).alias("grp"),
+                         F.explode(F.array(
+                             F.element_at("refs", 1),
+                             F.element_at("refs", -1))).alias("node")))
+    degbad = (open_ends.groupBy("id", "grp", "node").count()
+              .where(F.col("count") > 2).select("id").distinct())
+    good = (stats.join(resolved, "id")
+            .where((F.col("n_members") == F.col("n_ways"))
+                   & (F.col("n_ok") == F.col("n_ways"))
+                   & (F.col("n_outer") >= 1))
+            .join(degbad, "id", "left_anti")
+            .select("id"))
+    cp, _errs = process_multipolygons(t["relations"].join(good, "id"),
+                                      ways_ll, STYLE)
+    return cp.select(
+        "id", F.size("parts").cast("long").alias("n_parts"),
+        F.expr("cast(aggregate(parts, 0L, (a, p) -> a + size(p.interiors)) "
+               "as bigint)").alias("n_interiors"),
+        F.round("area", 1).alias("area"))
+
+
 def q_waynode_errors(spark, sf_dir):
     """J1 error path alone (SQL-expressible; the relation-level 'no
     rings' errors need merge logic and stay in assembly_errors)."""
@@ -533,6 +584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lowzoom_lines": q_lowzoom_lines,
     "polygon_validity": q_polygon_validity,
     "make_valid": q_make_valid,
+    "multipolygons_merged": q_multipolygons_merged,
 }
 
 
@@ -556,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignment": oracles.q_tile_assignment(docs, STYLE, MINZOOM),
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, STYLE),
+        "multipolygons_merged": oracles.q_multipolygons_merged(docs, STYLE),
         "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, STYLE),
         "knn_join": oracles.q_knn_join(docs, STYLE, k=3),

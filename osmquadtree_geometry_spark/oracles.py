@@ -792,6 +792,148 @@ FROM outr o JOIN rstat ro ON ro.way = o.way
 GROUP BY o.rel"""
 
 
+def q_multipolygons_merged(docs_path: str, style: GeometryStyle) -> str:
+    """Merged-ring multipolygon oracle (J2/G7/G8): extends the
+    closed-rings pin to relations whose role groups MERGE open member
+    ways into rings.  Order-free reformulation of the greedy merge:
+
+      * ring membership: a RECURSIVE cycle walk per role group —
+        seeded at every open member way, stepping to the unique unused
+        way sharing the current endpoint, completing when it returns
+        home; each cycle is kept once (seed == min member way).
+        Restricted to groups whose endpoint-node degree is <= 2 (the
+        walk is then deterministic and equals the reference's greedy
+        merge up to direction; degree-3+ junctions are stream-order
+        ambiguous and excluded on BOTH sides).
+      * ring area: the shoelace of a merged cycle = Σ ±(per-way
+        partial sums), sign = traversal direction — junction-repeated
+        points contribute zero, so no assembled point list is needed.
+      * containment: pnpoly crossing PARITY is a sum over the ring's
+        edge SET (order-free), evaluated per member way; the inner
+        test point is any inner-ring vertex (first point of its min
+        way).
+
+    Output matches the Spark side's summary: (id, n_parts,
+    n_interiors, area 1dp)."""
+    mp_types = (["multipolygon", "boundary"] if style.boundary_relations
+                else ["multipolygon"])
+    types = ", ".join(_lit(t) for t in mp_types)
+    mx = merc_x("wp.lon")
+    my = merc_y("wp.lat")
+    # per-way pnpoly crossing count vs a test point (tx, ty int cols):
+    # same float arithmetic as kernels.geomcalc.points_in_ring
+    cross_cnt = (
+        "len(list_filter(generate_series(2, len(wm2.ll)), i -> "
+        "((wm2.ll[i].lat * 1e-7 > c.ty * 1e-7) != "
+        " (wm2.ll[i-1].lat * 1e-7 > c.ty * 1e-7)) "
+        "AND c.tx * 1e-7 < "
+        "(wm2.ll[i-1].lon * 1e-7 - wm2.ll[i].lon * 1e-7) * "
+        "(c.ty * 1e-7 - wm2.ll[i].lat * 1e-7) / "
+        "(wm2.ll[i-1].lat * 1e-7 - wm2.ll[i].lat * 1e-7) + "
+        "wm2.ll[i].lon * 1e-7))")
+    return f"""WITH RECURSIVE {base_ctes(docs_path)}, {_way_pts(style)},
+wm AS (
+  SELECT way, ll, f, l,
+         list_sum(list_transform(generate_series(1, len(ll) - 1),
+             i -> ll[i].x * ll[i+1].y - ll[i].y * ll[i+1].x)) AS partial,
+         list_min(list_transform(ll, p -> p.lon)) AS minlon,
+         list_min(list_transform(ll, p -> p.lat)) AS minlat,
+         list_max(list_transform(ll, p -> p.lon)) AS maxlon,
+         list_max(list_transform(ll, p -> p.lat)) AS maxlat,
+         ll[1].lon AS p1lon, ll[1].lat AS p1lat
+  FROM (SELECT wp.way, wstat.f, wstat.l,
+               list(struct_pack(lon := wp.lon, lat := wp.lat,
+                                x := {mx}, y := {my}) ORDER BY wp.pos) AS ll
+        FROM wp JOIN wstat ON wstat.way = wp.way
+        WHERE wp.way IN (SELECT way FROM wok)
+        GROUP BY wp.way, wstat.f, wstat.l)),
+relgood AS (
+  SELECT rm.rel FROM rm GROUP BY rm.rel
+  HAVING count(*) = sum(CASE WHEN mem_type = 'way' THEN 1 ELSE 0 END)
+     AND sum(CASE WHEN role != 'inner' THEN 1 ELSE 0 END) >= 1
+     AND sum(CASE WHEN mem_type = 'way'
+              AND ref IN (SELECT way FROM wm) THEN 1 ELSE 0 END) = count(*)),
+relok AS (
+  SELECT rel FROM relgood
+  WHERE EXISTS (SELECT 1 FROM tg WHERE tg.elem = 'rel' AND tg.id = rel
+                AND tg.k = 'type' AND tg.v IN ({types}))
+    AND {feature_exists(style, 'rel', 'rel')}),
+memb AS (
+  SELECT DISTINCT rm.rel, CASE WHEN rm.role = 'inner' THEN 'i' ELSE 'o' END
+           AS grp, rm.ref AS way
+  FROM rm WHERE rm.rel IN (SELECT rel FROM relok) AND rm.mem_type = 'way'),
+open_m AS (SELECT memb.*, wm.f, wm.l, wm.partial
+           FROM memb JOIN wm ON wm.way = memb.way WHERE wm.f != wm.l),
+closed_m AS (SELECT memb.* FROM memb JOIN wm ON wm.way = memb.way
+             WHERE wm.f = wm.l),
+-- degree-2 restriction: any endpoint used by 3+ open ways in a group
+-- makes the merge stream-order ambiguous -> drop the relation
+degbad AS (
+  SELECT DISTINCT rel FROM (
+    SELECT rel, grp, node, count(*) AS deg FROM (
+      SELECT rel, grp, f AS node FROM open_m
+      UNION ALL SELECT rel, grp, l AS node FROM open_m)
+    GROUP BY rel, grp, node HAVING count(*) > 2)),
+relfin AS (SELECT rel FROM relok WHERE rel NOT IN (SELECT rel FROM degbad)),
+walk(rel, grp, start, cur_node, home, used, acc) AS (
+  SELECT rel, grp, way, l, f, [way], partial
+  FROM open_m WHERE rel IN (SELECT rel FROM relfin)
+  UNION ALL
+  SELECT w.rel, w.grp, w.start,
+         CASE WHEN m.f = w.cur_node THEN m.l ELSE m.f END,
+         w.home, list_append(w.used, m.way),
+         w.acc + CASE WHEN m.f = w.cur_node THEN m.partial
+                      ELSE -m.partial END
+  FROM walk w JOIN open_m m
+    ON m.rel = w.rel AND m.grp = w.grp
+   AND NOT list_contains(w.used, m.way)
+   AND (m.f = w.cur_node OR m.l = w.cur_node)
+  WHERE w.cur_node != w.home),
+cycles AS (
+  SELECT rel, grp, start AS ring, used, -0.5 * acc AS sarea
+  FROM walk WHERE cur_node = home AND start = list_min(used)),
+rings AS (
+  SELECT c.rel, c.grp, c.way AS ring, [c.way] AS used,
+         -0.5 * wm.partial AS sarea,
+         wm.minlon, wm.minlat, wm.maxlon, wm.maxlat,
+         wm.p1lon AS tx, wm.p1lat AS ty
+  FROM closed_m c JOIN wm ON wm.way = c.way
+  WHERE c.rel IN (SELECT rel FROM relfin)
+  UNION ALL
+  SELECT cy.rel, cy.grp, cy.ring, cy.used, cy.sarea,
+         min(wm.minlon), min(wm.minlat), max(wm.maxlon), max(wm.maxlat),
+         arg_min(wm.p1lon, wm.way), arg_min(wm.p1lat, wm.way)
+  FROM cycles cy, unnest(cy.used) AS u(w)
+  JOIN wm ON wm.way = u.w
+  GROUP BY cy.rel, cy.grp, cy.ring, cy.used, cy.sarea),
+ring_ways AS (
+  SELECT rel, grp, ring, unnest(used) AS w FROM rings),
+cand_io AS (
+  SELECT ri.rel, ri.ring AS iring, ro.ring AS oring, ri.tx, ri.ty
+  FROM rings ri JOIN rings ro ON ro.rel = ri.rel AND ro.grp = 'o'
+  WHERE ri.grp = 'i'
+    AND ro.minlon <= ri.minlon AND ro.minlat <= ri.minlat
+    AND ro.maxlon >= ri.maxlon AND ro.maxlat >= ri.maxlat),
+contained AS (
+  SELECT DISTINCT rel, iring AS ring FROM (
+    SELECT c.rel, c.iring, c.oring, sum({cross_cnt}) AS n
+    FROM cand_io c
+    JOIN ring_ways rw ON rw.rel = c.rel AND rw.grp = 'o'
+                     AND rw.ring = c.oring
+    JOIN wm wm2 ON wm2.way = rw.w
+    GROUP BY c.rel, c.iring, c.oring)
+  WHERE n % 2 = 1)
+SELECT r.rel AS id, count(*) AS n_parts,
+       (SELECT count(*) FROM contained c WHERE c.rel = r.rel) AS n_interiors,
+       round(sum(abs(r.sarea)) - coalesce(
+         (SELECT sum(abs(ri.sarea)) FROM contained c
+          JOIN rings ri ON ri.rel = c.rel AND ri.ring = c.ring
+                       AND ri.grp = 'i'
+          WHERE c.rel = r.rel), 0.0), 1) AS area
+FROM rings r WHERE r.grp = 'o'
+GROUP BY r.rel"""
+
+
 def _banker(x: str) -> str:
     """Round-half-even (numpy/python semantics) — DuckDB round() is
     half-away-from-zero, and int-coordinate midpoints hit .5 often."""

@@ -59,6 +59,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "tile_assignment": oracles.q_tile_assignment(docs, style, mz),
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, style),
+        "multipolygons_merged": oracles.q_multipolygons_merged(docs, style),
         "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, style),
         "knn_join": oracles.q_knn_join(docs, style, k=3),
@@ -95,7 +96,7 @@ ORACLE_QUERIES = [
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "embedding_lsh_near_dup",
-    "multipolygons_closed_rings", "waynode_errors",
+    "multipolygons_closed_rings", "multipolygons_merged", "waynode_errors",
     "make_valid", "clip_lines", "lowzoom_lines",
 ]
 
