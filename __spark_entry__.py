@@ -609,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, STYLE),
         "multipolygons_merged": oracles.q_multipolygons_merged(docs, STYLE),
+        "assembly_errors": oracles.q_assembly_errors(docs, STYLE),
         "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, STYLE),
         "knn_join": oracles.q_knn_join(docs, STYLE, k=3),
@@ -648,10 +649,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         # multimodal_features: rows-only (the fake decoder is a seeded
         # numpy RNG — not SQL-expressible; the Arrow plumbing is
-        # pytest-covered).  multipolygons / assembly_errors: rows-only
-        # (ring-assembly WKB bytes have no SQL analogue — pinned
-        # instead by multipolygons_closed_rings / waynode_errors and
-        # byte-level kernel tests)
+        # pytest-covered).  multipolygons: rows-only (its wkb_hash
+        # column hashes assembled WKB BYTES, whose merged point order
+        # has no SQL analogue — everything else about assembly is
+        # pinned by multipolygons_merged / multipolygons_closed_rings
+        # / assembly_errors, and byte layout by kernel tests)
         "minhash_signatures": oracles.q_minhash_signatures(n_hashes=8),
         "minhash_lsh_pairs": oracles.q_minhash_lsh_pairs(
             n_hashes=8, bands=4, max_bucket=64),

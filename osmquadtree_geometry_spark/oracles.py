@@ -934,6 +934,69 @@ FROM rings r WHERE r.grp = 'o'
 GROUP BY r.rel"""
 
 
+def q_assembly_errors(docs_path: str, style: GeometryStyle) -> str:
+    """Pipeline error side-output oracle, grouped (elem_type, message):
+
+      * way / 'missing node <ref>' — first missing ref per way
+        (waywithnodes.rs:105-109, same derivation as waynode_errors);
+      * relation / 'not a feature' — mp-typed relations without a
+        feature key (style.rs:318-331);
+      * relation / 'no rings' — mp feature relations whose resolvable
+        members yield neither a closed-way ring nor a completed merge
+        cycle (rings.py 'no rings', AssemblyError).  Cycle existence
+        re-derived with the recursive endpoint walk; at degree-3+
+        junctions greedy merge order could in principle differ from
+        the walk, but cycle EXISTENCE matches on every degree<=2
+        group (all fixture scenes)."""
+    mp_types = (["multipolygon", "boundary"] if style.boundary_relations
+                else ["multipolygon"])
+    types = ", ".join(_lit(t) for t in mp_types)
+    return f"""WITH RECURSIVE {base_ctes(docs_path)},
+wok AS (SELECT wr.way FROM wr LEFT JOIN nd ON wr.ref = nd.id
+        GROUP BY wr.way HAVING count(nd.id) = count(*)),
+wend AS (SELECT way, min_by(ref, pos) AS f, max_by(ref, pos) AS l
+         FROM wr WHERE way IN (SELECT way FROM wok) GROUP BY way),
+mprel AS (
+  SELECT DISTINCT tg.id AS rel FROM tg
+  WHERE tg.elem = 'rel' AND tg.k = 'type' AND tg.v IN ({types})),
+mpfeat AS (SELECT rel FROM mprel
+           WHERE {feature_exists(style, 'rel', 'rel')}),
+open_m AS (
+  SELECT DISTINCT rm.rel, rm.ref AS way, wend.f, wend.l
+  FROM rm JOIN wend ON wend.way = rm.ref
+  WHERE rm.rel IN (SELECT rel FROM mpfeat) AND rm.mem_type = 'way'
+    AND wend.f != wend.l),
+haveclosed AS (
+  SELECT DISTINCT rm.rel FROM rm JOIN wend ON wend.way = rm.ref
+  WHERE rm.rel IN (SELECT rel FROM mpfeat) AND rm.mem_type = 'way'
+    AND wend.f = wend.l),
+walk(rel, start, cur_node, home, used) AS (
+  SELECT rel, way, l, f, [way] FROM open_m
+  UNION ALL
+  SELECT w.rel, w.start,
+         CASE WHEN m.f = w.cur_node THEN m.l ELSE m.f END,
+         w.home, list_append(w.used, m.way)
+  FROM walk w JOIN open_m m
+    ON m.rel = w.rel AND NOT list_contains(w.used, m.way)
+   AND (m.f = w.cur_node OR m.l = w.cur_node)
+  WHERE w.cur_node != w.home),
+havecycle AS (SELECT DISTINCT rel FROM walk WHERE cur_node = home),
+errs AS (
+  SELECT 'way' AS elem_type, wr.way AS elem_id,
+         'missing node ' || min_by(wr.ref, wr.pos) AS message
+  FROM wr LEFT JOIN nd ON wr.ref = nd.id
+  WHERE nd.id IS NULL GROUP BY wr.way
+  UNION ALL
+  SELECT 'relation', rel, 'not a feature' FROM mprel
+  WHERE rel NOT IN (SELECT rel FROM mpfeat)
+  UNION ALL
+  SELECT 'relation', rel, 'no rings' FROM mpfeat
+  WHERE rel NOT IN (SELECT rel FROM haveclosed)
+    AND rel NOT IN (SELECT rel FROM havecycle))
+SELECT elem_type, message, count(*) AS n, min(elem_id) AS min_id
+FROM errs GROUP BY elem_type, message"""
+
+
 def _banker(x: str) -> str:
     """Round-half-even (numpy/python semantics) — DuckDB round() is
     half-away-from-zero, and int-coordinate midpoints hit .5 often."""

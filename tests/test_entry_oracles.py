@@ -60,6 +60,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, style),
         "multipolygons_merged": oracles.q_multipolygons_merged(docs, style),
+        "assembly_errors": oracles.q_assembly_errors(docs, style),
         "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, style),
         "knn_join": oracles.q_knn_join(docs, style, k=3),
@@ -97,6 +98,7 @@ ORACLE_QUERIES = [
     "geojson_points", "geojson_tiles", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "embedding_lsh_near_dup",
     "multipolygons_closed_rings", "multipolygons_merged", "waynode_errors",
+    "assembly_errors",
     "make_valid", "clip_lines", "lowzoom_lines",
 ]
 
@@ -114,7 +116,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 
 
 ROWS_ONLY_QUERIES = [
-    "multipolygons", "assembly_errors", "multimodal_features",
+    "multipolygons", "multimodal_features",
 ]
 
 
