@@ -156,3 +156,28 @@ def test_pip_join_bounded_cell_agg(spark):
     # empirically: ALL 5000 co-located points are inside every polygon,
     # yet no packed row exceeded the cap by more than hash skew
     assert j.count() == 5000 * 5
+
+
+def test_lsh_pair_generators_no_cartesian(spark):
+    """The LSH candidate generators (jaccard, embedding near-dup,
+    simhash) must plan as equi-joins on bucket keys — a
+    CartesianProduct / BroadcastNestedLoopJoin anywhere means the
+    all-pairs path leaked back in."""
+    import pandas as pd
+    from osmquadtree_geometry_spark import dedup
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(30)],
+        "text": [f"alpha beta gamma delta {i % 7}" for i in range(30)],
+        "source": ["s"] * 30}))
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(20)),
+        "embedding": [[float(i % 5), 1.0, -2.0, float(i)] for i in range(20)],
+        "label": ["x"] * 20}))
+    for df in (dedup.jaccard_lsh_pairs(docs, threshold=0.1, n_hashes=8,
+                                       bands=4),
+               dedup.embedding_lsh_near_dup(emb, threshold=0.1, n_planes=2,
+                                            n_tables=2, dim=4),
+               dedup.simhash_near_pairs(docs, max_hamming=3)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
