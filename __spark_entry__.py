@@ -276,7 +276,7 @@ def q_multipolygons_merged(spark, sf_dir):
         "id", F.size("parts").cast("long").alias("n_parts"),
         F.expr("cast(aggregate(parts, 0L, (a, p) -> a + size(p.interiors)) "
                "as bigint)").alias("n_interiors"),
-        F.round("area", 1).alias("area"))
+        F.round("area", 1).alias("area"), "quadtree")
 
 
 def q_waynode_errors(spark, sf_dir):

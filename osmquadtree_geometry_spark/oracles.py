@@ -922,15 +922,38 @@ contained AS (
                      AND rw.ring = c.oring
     JOIN wm wm2 ON wm2.way = rw.w
     GROUP BY c.rel, c.iring, c.oring)
-  WHERE n % 2 = 1)
+  WHERE n % 2 = 1),
+bbx AS (
+  SELECT rel, min(minlon) AS bl, min(minlat) AS bb,
+         max(maxlon) AS br, max(maxlat) AS bt
+  FROM rings WHERE grp = 'o' GROUP BY rel),
+-- calculate_bbox(exterior bounds): corner cells at depth 18, rounded
+-- to the deepest depth at which both corners share a tile
+qtc AS (
+  SELECT rel, {sql_point_qt('bl', 'bb')} AS qa,
+         {_sql_tile_x('bl', 1 << 18)} AS txa,
+         {_sql_tile_y('bb', 1 << 18)} AS tya,
+         {_sql_tile_x('br', 1 << 18)} AS txb,
+         {_sql_tile_y('bt', 1 << 18)} AS tyb
+  FROM bbx),
+qtr AS (
+  SELECT rel, {sql_round_qt('qa', 'cd')} AS quadtree FROM (
+    SELECT rel, qa,
+           list_max(list_filter(generate_series(0, 18), dd ->
+             floor(txa / power(2, 18 - dd)) = floor(txb / power(2, 18 - dd))
+             AND floor(tya / power(2, 18 - dd)) = floor(tyb / power(2, 18 - dd))))
+             AS cd
+    FROM qtc))
 SELECT r.rel AS id, count(*) AS n_parts,
        (SELECT count(*) FROM contained c WHERE c.rel = r.rel) AS n_interiors,
        round(sum(abs(r.sarea)) - coalesce(
          (SELECT sum(abs(ri.sarea)) FROM contained c
           JOIN rings ri ON ri.rel = c.rel AND ri.ring = c.ring
                        AND ri.grp = 'i'
-          WHERE c.rel = r.rel), 0.0), 1) AS area
-FROM rings r WHERE r.grp = 'o'
+          WHERE c.rel = r.rel), 0.0), 1) AS area,
+       any_value(qtr.quadtree) AS quadtree
+FROM rings r JOIN qtr ON qtr.rel = r.rel
+WHERE r.grp = 'o'
 GROUP BY r.rel"""
 
 
