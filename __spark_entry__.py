@@ -610,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
             oracles.q_multipolygons_closed_rings(docs, STYLE),
         "multipolygons_merged": oracles.q_multipolygons_merged(docs, STYLE),
         "assembly_errors": oracles.q_assembly_errors(docs, STYLE),
+        "multimodal_features": oracles.q_multimodal_features(docs, dim=8),
         "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, STYLE),
         "knn_join": oracles.q_knn_join(docs, STYLE, k=3),
@@ -648,12 +649,11 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents""",
         # multimodal_features: rows-only (the fake decoder is a seeded
-        # numpy RNG — not SQL-expressible; the Arrow plumbing is
-        # pytest-covered).  multipolygons: rows-only (its wkb_hash
+        # multipolygons is the ONLY rows-only query: its wkb_hash
         # column hashes assembled WKB BYTES, whose merged point order
         # has no SQL analogue — everything else about assembly is
         # pinned by multipolygons_merged / multipolygons_closed_rings
-        # / assembly_errors, and byte layout by kernel tests)
+        # / assembly_errors, and byte layout by kernel tests
         "minhash_signatures": oracles.q_minhash_signatures(n_hashes=8),
         "minhash_lsh_pairs": oracles.q_minhash_lsh_pairs(
             n_hashes=8, bands=4, max_bucket=64),

@@ -40,9 +40,17 @@ def synth_media_table(media: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    """Deterministic stand-in features: component j is the top 24 md5
+    bits of ``hex(payload)#j`` scaled to [0, 1).  24-bit dyadic
+    rationals are exactly representable in float32, so the values are
+    engine-portable bit-for-bit (the driver's DuckDB oracle re-derives
+    them in SQL — an RNG-based fake would not be checkable)."""
+    hx = payload.hex()
+    out = np.empty(dim, np.float32)
+    for j in range(dim):
+        h = hashlib.md5(f"{hx}#{j}".encode()).hexdigest()
+        out[j] = int(h[:6], 16) / float(1 << 24)
+    return out
 
 
 def decode_image(payload: bytes, *, fake: bool = False, dim: int = 8) -> np.ndarray:

@@ -1439,6 +1439,32 @@ FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
 WHERE {cos} >= {threshold}"""
 
 
+def q_multimodal_features(docs_path: str, dim: int = 8) -> str:
+    """Mirror of multimodal.extract_features over synth_media_table:
+    payload = unhex(md5(tile)) (so lower-hex(payload) == md5(tile)),
+    n_bytes = 16, and feature j = int(md5(md5(tile) || '#' || j)[:6],
+    16) / 2^24 — 24-bit dyadics survive the float32 cast exactly, so
+    the rounded feature sum matches bit-for-bit."""
+    digits = "0123456789abcdef"
+
+    def hex6_int(h: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, 6), k -> "
+                f"(strpos('{digits}', substr({h}, k, 1)) - 1) "
+                f"* power(16, 6 - k)))")
+
+    comp = " + ".join(
+        hex6_int(f"md5(m.tile || '#' || {j})") for j in range(dim))
+    return f"""
+WITH sp AS (SELECT doc_id, unnest(spans) AS s
+            FROM read_parquet({_lit(docs_path)})),
+md AS (SELECT doc_id, regexp_extract(s.text, 'tile=(.*)$', 1) AS ref
+       FROM sp WHERE s.kind = 'media'),
+m AS (SELECT doc_id, ref, md5(ref) AS tile FROM md)
+SELECT doc_id, ref AS media_ref, CAST(16 AS BIGINT) AS n_bytes,
+       round(({comp}) / 16777216.0, 4) AS feat_sum
+FROM m"""
+
+
 def q_events_rollup() -> str:
     return """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -61,6 +61,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
             oracles.q_multipolygons_closed_rings(docs, style),
         "multipolygons_merged": oracles.q_multipolygons_merged(docs, style),
         "assembly_errors": oracles.q_assembly_errors(docs, style),
+        "multimodal_features": oracles.q_multimodal_features(docs, dim=8),
         "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, style),
         "knn_join": oracles.q_knn_join(docs, style, k=3),
@@ -99,7 +100,7 @@ ORACLE_QUERIES = [
     "embedding_near_dup", "embedding_lsh_near_dup",
     "multipolygons_closed_rings", "multipolygons_merged", "waynode_errors",
     "assembly_errors",
-    "make_valid", "clip_lines", "lowzoom_lines",
+    "make_valid", "clip_lines", "lowzoom_lines", "multimodal_features",
 ]
 
 
@@ -116,7 +117,7 @@ def test_query_matches_oracle(spark, entry_mod, ducked, name):
 
 
 ROWS_ONLY_QUERIES = [
-    "multipolygons", "multimodal_features",
+    "multipolygons",
 ]
 
 
