@@ -121,6 +121,46 @@ def make_valid_polygons(polygons: DataFrame) -> DataFrame:
     return polygons.select("id", "lonlats").mapInPandas(run, schema)
 
 
+def repair_polygons_for_sink(polygons: DataFrame) -> DataFrame:
+    """Sink-side make_valid (`prepcopy.rs:511-543`: the reference
+    repairs invalid polygons right before the PostgreSQL write).
+    Valid rings pass through as one part; self-intersecting rings are
+    node-split into outer/hole parts.  Emits the repaired MultiPolygon
+    WKB alongside ``was_repaired`` / ``n_parts`` so the table-routing
+    sink can write it unchanged."""
+    from ..kernels import wkb as wkbk
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                lon, lat = _iter_lonlat(r.lonlats)
+                if V.is_valid_ring(lon, lat):
+                    parts = [[(lon, lat)]]
+                    repaired = False
+                else:
+                    pieces = V.make_valid_parts(lon, lat)
+                    outers = [i for i, p in enumerate(pieces)
+                              if p["role"] == "outer"]
+                    parts = [[(pieces[i]["lon"], pieces[i]["lat"])]
+                             + [(h["lon"], h["lat"]) for h in pieces
+                                if h["role"] == "hole" and h["parent"] == k]
+                             for k, i in enumerate(outers)]
+                    repaired = True
+                if not parts:
+                    continue  # fully degenerate -> dropped, as GEOS does
+                rows.append({
+                    "id": int(r.id), "was_repaired": repaired,
+                    "n_parts": len(parts),
+                    "wkb": wkbk.multipolygon_wkb(parts, transform=True,
+                                                 with_srid=True)})
+            yield pd.DataFrame(
+                rows, columns=["id", "was_repaired", "n_parts", "wkb"])
+
+    schema = "id long, was_repaired boolean, n_parts int, wkb binary"
+    return polygons.select("id", "lonlats").mapInPandas(run, schema)
+
+
 def with_point_on_surface(polygons: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

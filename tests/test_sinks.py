@@ -271,3 +271,30 @@ def test_ddl():
     assert "planet_osm_point_z6" in sql and "minzoom <= 10" in sql
     v = sinks.union_compat_view(["planet_osm_point", "planet_osm_line"])
     assert "UNION ALL" in v
+
+
+def test_repair_polygons_for_sink(res, spark):
+    """prepcopy.rs:511-543 parity: invalid polygons are node-split
+    into valid MultiPolygon WKB before the sink; valid ones pass
+    through as one part."""
+    import struct as st
+    from osmquadtree_geometry_spark.operators.validity import (
+        repair_polygons_for_sink, with_validity)
+    v = with_validity(res.simple_polygons).select("id", "is_valid")
+    out = repair_polygons_for_sink(res.simple_polygons)
+    j = {r.id: r for r in out.join(v, "id").collect()}
+    assert j  # fixture has polygons
+    n_rep = 0
+    for r in j.values():
+        assert r.was_repaired == (not r.is_valid)
+        n_rep += int(r.was_repaired)
+        assert r.n_parts >= 1
+        # WKB sanity: little-endian; 1-part collapses to Polygon(3),
+        # multi-part stays MultiPolygon(6) — both SRID-flagged
+        assert r.wkb[:1] == b"\x01"
+        gtype = st.unpack("<I", r.wkb[1:5])[0]
+        assert gtype == ((6 if r.n_parts > 1 else 3) + (32 << 24))
+    # the invalid-polygon scenes guarantee repairs actually happen
+    assert n_rep > 0
+    # bowties split into two parts
+    assert any(r.was_repaired and r.n_parts == 2 for r in j.values())
