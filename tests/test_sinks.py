@@ -298,3 +298,40 @@ def test_repair_polygons_for_sink(res, spark):
     assert n_rep > 0
     # bowties split into two parts
     assert any(r.was_repaired and r.n_parts == 2 for r in j.values())
+
+
+def test_read_geometry_filters(res, spark, tmp_path):
+    """read_geometry_blocks parity (pack_geometry.rs:593-632): bbox /
+    poly / max_minzoom filters over the written tiles, checked
+    against a driver-side brute-force over the same rows."""
+    import numpy as np
+    from osmquadtree_geometry_spark.kernels import geomcalc
+    from osmquadtree_geometry_spark.kernels import quadtree as qtk
+    from osmquadtree_geometry_spark.sources import read_geometry
+    out = str(tmp_path / "geom_tiles")
+    sinks.write_sorted_tiles(res.points.select(
+        "id", "lon", "lat", "minzoom", "quadtree", "tile"), out)
+    allr = res.points.select("id", "lon", "lat", "minzoom", "tile").collect()
+    # bbox around the first feature point, padded
+    r0 = allr[0]
+    bbox = (r0.lon - 10**6, r0.lat - 10**6, r0.lon + 10**6, r0.lat + 10**6)
+    got = {r.id for r in read_geometry(spark, out, bbox=bbox).collect()}
+    exp = {r.id for r in allr
+           if bbox[0] <= r.lon <= bbox[2] and bbox[1] <= r.lat <= bbox[3]}
+    assert got == exp and got
+    # polygon filter: triangle inside the bbox
+    plon = np.asarray([bbox[0], bbox[2], r0.lon, bbox[0]], np.int64)
+    plat = np.asarray([bbox[1], bbox[1], bbox[3], bbox[1]], np.int64)
+    gotp = {r.id for r in read_geometry(spark, out,
+                                        poly=(plon, plat)).collect()}
+    expp = {r.id for r in allr if geomcalc.point_in_poly(
+        plon, plat, r.lon, r.lat)}
+    assert gotp == expp
+    assert gotp <= got
+    # depth pruning: every surviving tile is at depth <= 6 and the
+    # feature minzoom respects the cap
+    shallow = read_geometry(spark, out, max_minzoom=6).collect()
+    for r in shallow:
+        if r.tile >= 0:
+            assert int(qtk.depth(np.asarray([r.tile]))[0]) <= 6
+        assert r.minzoom is None or r.minzoom <= 6
