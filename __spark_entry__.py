@@ -332,6 +332,12 @@ def q_geojson_points(spark, sf_dir):
     return geojson_features(res.points, "point")
 
 
+def q_geojson_polygons(spark, sf_dir):
+    from osmquadtree_geometry_spark.sinks import geojson_features
+    res = _pipeline(spark, sf_dir)
+    return geojson_features(res.simple_polygons, "simple_polygon")
+
+
 def q_geojson_tiles(spark, sf_dir):
     from osmquadtree_geometry_spark.sinks import geojson_tile_blocks
     res = _pipeline(spark, sf_dir)
@@ -564,6 +570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clip_lines": q_clip_lines,
     "geojson_points": q_geojson_points,
     "geojson_tiles": q_geojson_tiles,
+    "geojson_polygons": q_geojson_polygons,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
@@ -617,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_vector": oracles.q_raster_vector(docs, STYLE, MINZOOM),
         "geojson_points": oracles.q_geojson_points(docs, STYLE),
         "geojson_tiles": oracles.q_geojson_tiles(docs, STYLE, MINZOOM),
+        "geojson_polygons": oracles.q_geojson_polygons(docs, STYLE),
         "lsh_ann": oracles.q_lsh_ann(k=10, n_queries=5, n_planes=3,
                                      n_tables=8, dim=64),
         "polygon_validity": oracles.q_polygon_validity(docs, STYLE),

@@ -430,9 +430,9 @@ SELECT way AS id, cell,
 FROM agg WHERE np >= 2"""
 
 
-def q_relation_tags(docs_path: str, style: GeometryStyle) -> str:
-    """Way-level aggregated relation tags (J4) — one row per
-    (way, target_key)."""
+def _relation_tag_union(style: GeometryStyle) -> str:
+    """UNION ALL producing (way_id, target_key, out_val) J4 rows
+    (shared by q_relation_tags and the way-level geojson oracles)."""
     parts = []
     for i, spec in enumerate(style.relation_tag_spec):
         conds = " AND ".join(
@@ -453,9 +453,14 @@ FROM (SELECT r.ref AS way_id, {val} AS val
       FROM rm r WHERE r.mem_type = 'way' AND {conds}
         AND {val} IS NOT NULL) t
 GROUP BY way_id HAVING {agg} IS NOT NULL""")
-    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return " UNION ALL ".join(f"({p})" for p in parts)
+
+
+def q_relation_tags(docs_path: str, style: GeometryStyle) -> str:
+    """Way-level aggregated relation tags (J4) — one row per
+    (way, target_key)."""
     return f"""WITH {base_ctes(docs_path)}
-SELECT * FROM ({union}) ORDER BY way_id, target_key"""
+SELECT * FROM ({_relation_tag_union(style)}) ORDER BY way_id, target_key"""
 
 
 def _parent_tag_union(style: GeometryStyle) -> str:
@@ -710,6 +715,55 @@ SELECT tile, count(*) AS n_features,
        '{{"type":"FeatureCollection","features":[' ||
        string_agg(feature, ',' ORDER BY id) || ']}}' AS collection
 FROM pf GROUP BY tile"""
+
+
+def _deg_dd(col: str) -> str:
+    """Fixed 7-decimal degree string from 1e-7 fixed-point — same
+    integer string math as sinks._deg_str, so JSON matches byte-for-
+    byte (float formatting never enters)."""
+    return (f"concat(CASE WHEN ({col}) < 0 THEN '-' ELSE '' END, "
+            f"CAST(abs({col}) // 10000000 AS VARCHAR), '.', "
+            f"lpad(CAST(abs({col}) % 10000000 AS VARCHAR), 7, '0'))")
+
+
+def q_geojson_polygons(docs_path: str, style: GeometryStyle) -> str:
+    """Simple-polygon GeoJSON features (S6): way props = way tags +
+    J4 relation-tag merges (sorted keys), ring coordinates at fixed
+    7dp, REVERSED polygons emit their coordinate list reversed
+    (simplepolygongeometry.rs:12-27; reversed = mercator shoelace
+    sign, same derivation as simple_polygon_area)."""
+    is_poly = polygon_match(style, "wstat.way")
+    pt = f"concat('[', {_deg_dd('wp.lon')}, ',', {_deg_dd('wp.lat')}, ']')"
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+polys AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND wstat.f = wstat.l AND {is_poly}
+),
+cr AS (SELECT wp.way,
+              (x * lead(y) OVER w - y * lead(x) OVER w) AS c
+       FROM wp JOIN polys ON wp.way = polys.way
+       WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos)),
+ar AS (SELECT way, (-0.5 * sum(c)) < 0 AS rev FROM cr GROUP BY way),
+pj AS (SELECT wp.way, list({pt} ORDER BY wp.pos) AS pts
+       FROM wp JOIN polys ON wp.way = polys.way GROUP BY wp.way),
+alltags AS (
+  SELECT tg.id AS way, tg.k AS k, tg.v AS v FROM tg WHERE tg.elem = 'way'
+  UNION ALL
+  SELECT way_id, target_key, out_val FROM ({_relation_tag_union(style)})),
+props AS (SELECT way,
+                 '{{' || string_agg('"' || k || '":"' || v || '"',
+                                    ',' ORDER BY k) || '}}' AS pjson
+          FROM alltags GROUP BY way)
+SELECT p.way AS id,
+       '{{"type":"Feature","id":' || CAST(p.way AS VARCHAR) ||
+       ',"properties":' || props.pjson ||
+       ',"geometry":{{"type":"Polygon","coordinates":[[' ||
+       array_to_string(CASE WHEN ar.rev THEN list_reverse(p.pts)
+                            ELSE p.pts END, ',') ||
+       ']]}}}}' AS feature
+FROM pj p JOIN ar ON ar.way = p.way JOIN props ON props.way = p.way"""
 
 
 def q_multipolygons_closed_rings(docs_path: str,
