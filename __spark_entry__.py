@@ -338,6 +338,12 @@ def q_geojson_polygons(spark, sf_dir):
     return geojson_features(res.simple_polygons, "simple_polygon")
 
 
+def q_geojson_lines(spark, sf_dir):
+    from osmquadtree_geometry_spark.sinks import geojson_features
+    res = _pipeline(spark, sf_dir)
+    return geojson_features(res.linestrings, "linestring")
+
+
 def q_geojson_tiles(spark, sf_dir):
     from osmquadtree_geometry_spark.sinks import geojson_tile_blocks
     res = _pipeline(spark, sf_dir)
@@ -571,6 +577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geojson_points": q_geojson_points,
     "geojson_tiles": q_geojson_tiles,
     "geojson_polygons": q_geojson_polygons,
+    "geojson_lines": q_geojson_lines,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
@@ -625,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_points": oracles.q_geojson_points(docs, STYLE),
         "geojson_tiles": oracles.q_geojson_tiles(docs, STYLE, MINZOOM),
         "geojson_polygons": oracles.q_geojson_polygons(docs, STYLE),
+        "geojson_lines": oracles.q_geojson_lines(docs, STYLE),
         "lsh_ann": oracles.q_lsh_ann(k=10, n_queries=5, n_planes=3,
                                      n_tables=8, dim=64),
         "polygon_validity": oracles.q_polygon_validity(docs, STYLE),

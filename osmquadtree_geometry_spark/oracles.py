@@ -766,6 +766,36 @@ SELECT p.way AS id,
 FROM pj p JOIN ar ON ar.way = p.way JOIN props ON props.way = p.way"""
 
 
+def q_geojson_lines(docs_path: str, style: GeometryStyle) -> str:
+    """Linestring GeoJSON features (S6): same byte-exact recipe as
+    q_geojson_polygons over the non-polygon feature ways."""
+    is_poly = polygon_match(style, "wstat.way")
+    pt = f"concat('[', {_deg_dd('wp.lon')}, ',', {_deg_dd('wp.lat')}, ']')"
+    return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
+lines AS (
+  SELECT wstat.way FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}
+    AND NOT (wstat.f = wstat.l AND {is_poly})
+),
+pj AS (SELECT wp.way, list({pt} ORDER BY wp.pos) AS pts
+       FROM wp JOIN lines ON wp.way = lines.way GROUP BY wp.way),
+alltags AS (
+  SELECT tg.id AS way, tg.k AS k, tg.v AS v FROM tg WHERE tg.elem = 'way'
+  UNION ALL
+  SELECT way_id, target_key, out_val FROM ({_relation_tag_union(style)})),
+props AS (SELECT way,
+                 '{{' || string_agg('"' || k || '":"' || v || '"',
+                                    ',' ORDER BY k) || '}}' AS pjson
+          FROM alltags GROUP BY way)
+SELECT p.way AS id,
+       '{{"type":"Feature","id":' || CAST(p.way AS VARCHAR) ||
+       ',"properties":' || props.pjson ||
+       ',"geometry":{{"type":"LineString","coordinates":[' ||
+       array_to_string(p.pts, ',') || ']}}}}' AS feature
+FROM pj p JOIN props ON props.way = p.way"""
+
+
 def q_multipolygons_closed_rings(docs_path: str,
                                  style: GeometryStyle) -> str:
     """Independent re-derivation of multipolygon assembly for the

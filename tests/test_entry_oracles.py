@@ -69,6 +69,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "geojson_points": oracles.q_geojson_points(docs, style),
         "geojson_tiles": oracles.q_geojson_tiles(docs, style, mz),
         "geojson_polygons": oracles.q_geojson_polygons(docs, style),
+        "geojson_lines": oracles.q_geojson_lines(docs, style),
         "polygon_validity": oracles.q_polygon_validity(docs, style),
         "make_valid": oracles.q_make_valid_area(docs, style),
         "clip_lines": oracles.q_clip_lines(docs, style),
@@ -97,7 +98,7 @@ ORACLE_QUERIES = [
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "jaccard_lsh",
     "quality_score",
     "tile_assignment", "pip_join", "knn_join", "raster_vector",
-    "geojson_points", "geojson_tiles", "geojson_polygons", "lsh_ann", "polygon_validity",
+    "geojson_points", "geojson_tiles", "geojson_polygons", "geojson_lines", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "embedding_lsh_near_dup",
     "multipolygons_closed_rings", "multipolygons_merged", "waynode_errors",
     "assembly_errors",
