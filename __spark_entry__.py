@@ -514,6 +514,22 @@ def q_polygon_validity(spark, sf_dir):
     return v.select("id", "is_valid", "pos_lon", "pos_lat")
 
 
+def q_feature_tile_counts(spark, sf_dir):
+    """THE FLAGSHIP as a checked query: entry()'s per-(geom_type,
+    tile) counts + id ranges, pinned end-to-end by a single composed
+    DuckDB oracle (decode -> joins -> assembly -> minzoom -> tiles)."""
+    res = _pipeline(spark, sf_dir)
+    def tag(df, t):
+        return df.select(F.lit(t).alias("geom_type"), "tile", "id")
+    allf = (tag(res.points, "point")
+            .unionByName(tag(res.linestrings, "linestring"))
+            .unionByName(tag(res.simple_polygons, "simple_polygon"))
+            .unionByName(tag(res.complicated_polygons, "complicated_polygon")))
+    return (allf.groupBy("geom_type", "tile")
+            .agg(F.count("*").alias("n_features"),
+                 F.min("id").alias("min_id"), F.max("id").alias("max_id")))
+
+
 def q_lineitem_agg(spark, sf_dir):
     li = spark.read.parquet(_sf(sf_dir, "lineitem"))
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
@@ -566,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assembly_errors": q_assembly_errors,
     "waynode_errors": q_waynode_errors,
     "tile_assignment": q_tile_assignment,
+    "feature_tile_counts": q_feature_tile_counts,
     "lineitem_agg": q_lineitem_agg,
     "top_customers": q_top_customers,
     "dedup_exact": q_dedup_exact,
@@ -620,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "parent_tags": oracles.q_parent_tags(docs, STYLE),
         "minzoom_points": oracles.q_minzoom_points(docs, STYLE, MINZOOM),
         "tile_assignment": oracles.q_tile_assignment(docs, STYLE, MINZOOM),
+        "feature_tile_counts": oracles.q_feature_tile_counts(docs, STYLE, MINZOOM),
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, STYLE),
         "multipolygons_merged": oracles.q_multipolygons_merged(docs, STYLE),

@@ -970,6 +970,8 @@ walk(rel, grp, start, cur_node, home, used, acc) AS (
                       ELSE -m.partial END
   FROM walk w JOIN open_m m
     ON m.rel = w.rel AND m.grp = w.grp
+   AND m.way > w.start  -- a kept cycle has start = min(used): walks
+                        -- touching a smaller way can never be kept
    AND NOT list_contains(w.used, m.way)
    AND (m.f = w.cur_node OR m.l = w.cur_node)
   WHERE w.cur_node != w.home),
@@ -1084,7 +1086,9 @@ walk(rel, start, cur_node, home, used) AS (
          CASE WHEN m.f = w.cur_node THEN m.l ELSE m.f END,
          w.home, list_append(w.used, m.way)
   FROM walk w JOIN open_m m
-    ON m.rel = w.rel AND NOT list_contains(w.used, m.way)
+    ON m.rel = w.rel AND m.way > w.start  -- min-start prune: cycle
+                        -- existence is still found from its min seed
+   AND NOT list_contains(w.used, m.way)
    AND (m.f = w.cur_node OR m.l = w.cur_node)
   WHERE w.cur_node != w.home),
 havecycle AS (SELECT DISTINCT rel FROM walk WHERE cur_node = home),
@@ -1102,6 +1106,210 @@ errs AS (
     AND rel NOT IN (SELECT rel FROM havecycle))
 SELECT elem_type, message, count(*) AS n, min(elem_id) AS min_id
 FROM errs GROUP BY elem_type, message"""
+
+
+def q_feature_tile_counts(docs_path: str, style: GeometryStyle,
+                          spec: MinZoomSpec, group_depth: int = 8) -> str:
+    """THE FLAGSHIP (entry()) oracle: per-(geom_type, tile) feature
+    counts + id ranges across ALL FOUR geometry outputs.  Composes the
+    proven pieces end-to-end — feature-node minzoom+cells (G10/G14),
+    way bbox cells + line/polygon minzoom with the area floor, the
+    merged-ring relation walk (rings, winding-normalized area,
+    exterior-bbox quadtree), minzoom rounding, and the
+    deepest-registered-ancestor tile allocation — into one SQL
+    statement.  Assumes degree<=2 merge junctions (every fixture
+    scene; 3+ is stream-order ambiguous in the reference too)."""
+    mp_types = (["multipolygon", "boundary"] if style.boundary_relations
+                else ["multipolygon"])
+    types = ", ".join(_lit(t) for t in mp_types)
+    is_poly = polygon_match(style, "wstat.way")
+    d = str(group_depth)
+    qt18 = sql_point_qt("nd.lon", "nd.lat")
+    from .config.minzoom import MAX_MINZOOM
+    from .kernels.mercator import EARTH_WIDTH as EW
+
+    def mz_lookup(table: dict, elem: str, id_expr: str) -> str:
+        exact = [((k, v), z) for (k, v), z in table.items() if v != "*"]
+        stars = [(k, z) for (k, v), z in table.items() if v == "*"]
+        e_cases = " ".join(
+            f"WHEN tg.k = {_lit(k)} AND tg.v = {_lit(v)} THEN {z}"
+            for (k, v), z in exact) or "WHEN false THEN 0"
+        s_cases = " ".join(f"WHEN tg.k = {_lit(k)} THEN {z}"
+                           for k, z in stars) or "WHEN false THEN 0"
+        return (f"(SELECT min(coalesce(CASE {e_cases} ELSE NULL END, "
+                f"CASE {s_cases} ELSE NULL END)) FROM tg "
+                f"WHERE tg.elem = '{elem}' AND tg.id = {id_expr})")
+
+    def area_floor(area: str) -> str:
+        return (f"least(CAST({MAX_MINZOOM} AS BIGINT), CAST(floor(CASE "
+                f"WHEN abs(sqrt(({area}) / {spec.min_area})) < 0.001 THEN 20.0 "
+                f"ELSE log2({EW!r} * 2.0 / sqrt(({area}) / {spec.min_area}) "
+                f"/ 256.0) END) AS BIGINT))")
+
+    def poly_mz(base: str, area: str) -> str:
+        return (f"(CASE WHEN ({base}) IS NULL THEN NULL "
+                f"ELSE greatest({base}, {area_floor(area)}) END)")
+
+    # deepest depth at which two depth-18 corner tiles share a tile
+    cdepth = ("list_max(list_filter(generate_series(0, 18), dd -> "
+              "floor(txa / power(2, 18 - dd)) = floor(txb / power(2, 18 - dd))"
+              " AND floor(tya / power(2, 18 - dd)) = "
+              "floor(tyb / power(2, 18 - dd))))")
+    r8 = sql_round_qt("quadtree", d)
+    alloc = (f"CASE WHEN {sql_qt_depth('quadtree')} >= {group_depth} "
+             f"AND {r8} IN (SELECT tile FROM dict) THEN {r8} ELSE -1 END")
+    rmz = sql_round_qt("q0", "mz")
+    return f"""WITH RECURSIVE {base_ctes(docs_path)}, {_way_pts(style)},
+{_fz_cte(style, spec)},
+dict AS (SELECT DISTINCT {sql_round_qt('q00', d)} AS tile
+         FROM (SELECT {qt18} AS q00 FROM nd)),
+-- ways: bbox cells + per-kind minzoom + rounding
+wkind AS (
+  SELECT wstat.way,
+         (wstat.f = wstat.l AND {is_poly}) AS ispoly
+  FROM wstat
+  WHERE wstat.way IN (SELECT way FROM wok)
+    AND {feature_exists(style, 'way', 'wstat.way')}),
+wgeo AS (
+  SELECT wp.way, min(wp.lon) AS bl, min(wp.lat) AS bb,
+         max(wp.lon) AS br, max(wp.lat) AS bt,
+         abs(-0.5 * sum(wp.x * wp.y2 - wp.y * wp.x2)) AS marea
+  FROM (SELECT wp.way, wp.lon, wp.lat, wp.x, wp.y,
+               lead(wp.x) OVER w AS x2, lead(wp.y) OVER w AS y2
+        FROM wp WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos)) wp
+  JOIN wkind ON wkind.way = wp.way GROUP BY wp.way),
+wqt AS (
+  SELECT wk.way, wk.ispoly, wg.marea,
+         {sql_point_qt('wg.bl', 'wg.bb')} AS qa,
+         {_sql_tile_x('wg.bl', 1 << 18)} AS txa,
+         {_sql_tile_y('wg.bb', 1 << 18)} AS tya,
+         {_sql_tile_x('wg.br', 1 << 18)} AS txb,
+         {_sql_tile_y('wg.bt', 1 << 18)} AS tyb
+  FROM wkind wk JOIN wgeo wg ON wg.way = wk.way),
+wq0 AS (SELECT way, ispoly, marea,
+               {sql_round_qt('qa', cdepth)} AS q0 FROM wqt),
+wmz AS (
+  SELECT way, ispoly, q0,
+         CASE WHEN ispoly
+              THEN {poly_mz(mz_lookup(spec.polygons, 'way', 'wmz0.way'),
+                            'wmz0.marea')}
+              ELSE {mz_lookup(spec.lines, 'way', 'wmz0.way')} END AS mz
+  FROM wq0 wmz0),
+wfin AS (SELECT way, ispoly,
+                CASE WHEN mz IS NULL THEN q0 ELSE {rmz} END AS quadtree
+         FROM wmz),
+-- relations: merged-ring walk (subset of q_multipolygons_merged,
+-- missing members skipped like the pipeline)
+wm2 AS (
+  SELECT g.way, wstat.f, wstat.l, g.sarea,
+         g.bl, g.bb, g.br, g.bt, g.tx, g.ty
+  FROM (SELECT way, -0.5 * sum(x * y2 - y * x2) AS sarea,
+               min(lon) AS bl, min(lat) AS bb,
+               max(lon) AS br, max(lat) AS bt,
+               min_by(lon, pos) AS tx, min_by(lat, pos) AS ty
+        FROM (SELECT wp.*, lead(wp.x) OVER w2 AS x2,
+                     lead(wp.y) OVER w2 AS y2
+              FROM wp WINDOW w2 AS (PARTITION BY wp.way ORDER BY wp.pos))
+        GROUP BY way) g
+  JOIN wstat ON wstat.way = g.way
+  WHERE g.way IN (SELECT way FROM wok)),
+relok2 AS (
+  SELECT DISTINCT tg.id AS rel FROM tg
+  WHERE tg.elem = 'rel' AND tg.k = 'type' AND tg.v IN ({types})
+    AND {feature_exists(style, 'rel', 'tg.id')}),
+memb2 AS (
+  SELECT DISTINCT rm.rel,
+         CASE WHEN rm.role = 'inner' THEN 'i' ELSE 'o' END AS grp,
+         rm.ref AS way
+  FROM rm WHERE rm.rel IN (SELECT rel FROM relok2)
+    AND rm.mem_type = 'way' AND rm.ref IN (SELECT way FROM wm2)),
+open2 AS (SELECT memb2.*, wm2.f, wm2.l, wm2.sarea
+          FROM memb2 JOIN wm2 ON wm2.way = memb2.way WHERE wm2.f != wm2.l),
+closed2 AS (SELECT memb2.* FROM memb2 JOIN wm2 ON wm2.way = memb2.way
+            WHERE wm2.f = wm2.l),
+walk2(rel, grp, start, cur_node, home, used, acc) AS (
+  SELECT rel, grp, way, l, f, [way], sarea FROM open2
+  UNION ALL
+  SELECT w.rel, w.grp, w.start,
+         CASE WHEN m.f = w.cur_node THEN m.l ELSE m.f END,
+         w.home, list_append(w.used, m.way),
+         w.acc + CASE WHEN m.f = w.cur_node THEN m.sarea ELSE -m.sarea END
+  FROM walk2 w JOIN open2 m
+    ON m.rel = w.rel AND m.grp = w.grp
+   AND m.way > w.start  -- min-start prune (see q_multipolygons_merged)
+   AND NOT list_contains(w.used, m.way)
+   AND (m.f = w.cur_node OR m.l = w.cur_node)
+  WHERE w.cur_node != w.home),
+cyc2 AS (SELECT rel, grp, start AS ring, used, acc AS sarea
+         FROM walk2 WHERE cur_node = home AND start = list_min(used)),
+rng2 AS (
+  SELECT c.rel, c.grp, c.way AS ring, [c.way] AS used, wm2.sarea,
+         wm2.bl, wm2.bb, wm2.br, wm2.bt, wm2.tx, wm2.ty
+  FROM closed2 c JOIN wm2 ON wm2.way = c.way
+  UNION ALL
+  SELECT cy.rel, cy.grp, cy.ring, cy.used, cy.sarea,
+         min(wm2.bl), min(wm2.bb), max(wm2.br), max(wm2.bt),
+         arg_min(wm2.tx, wm2.way), arg_min(wm2.ty, wm2.way)
+  FROM cyc2 cy, unnest(cy.used) AS u(w) JOIN wm2 ON wm2.way = u.w
+  GROUP BY cy.rel, cy.grp, cy.ring, cy.used, cy.sarea),
+rw2 AS (SELECT rel, grp, ring, unnest(used) AS w FROM rng2),
+cio2 AS (
+  SELECT ri.rel, ri.ring AS iring, ro.ring AS oring, ri.tx, ri.ty
+  FROM rng2 ri JOIN rng2 ro ON ro.rel = ri.rel AND ro.grp = 'o'
+  WHERE ri.grp = 'i'
+    AND ro.bl <= ri.bl AND ro.bb <= ri.bb
+    AND ro.br >= ri.br AND ro.bt >= ri.bt),
+cont2 AS (
+  SELECT DISTINCT rel, iring AS ring FROM (
+    SELECT c.rel, c.iring, c.oring,
+           sum(len(list_filter(generate_series(2, len(wl.ll)), i ->
+             ((wl.ll[i].lat * 1e-7 > c.ty * 1e-7) !=
+              (wl.ll[i-1].lat * 1e-7 > c.ty * 1e-7))
+             AND c.tx * 1e-7 <
+               (wl.ll[i-1].lon * 1e-7 - wl.ll[i].lon * 1e-7) *
+               (c.ty * 1e-7 - wl.ll[i].lat * 1e-7) /
+               (wl.ll[i-1].lat * 1e-7 - wl.ll[i].lat * 1e-7) +
+               wl.ll[i].lon * 1e-7))) AS n
+    FROM cio2 c
+    JOIN rw2 ON rw2.rel = c.rel AND rw2.grp = 'o' AND rw2.ring = c.oring
+    JOIN (SELECT wp.way, list(struct_pack(lon := wp.lon, lat := wp.lat)
+                              ORDER BY wp.pos) AS ll
+          FROM wp GROUP BY wp.way) wl ON wl.way = rw2.w
+    GROUP BY c.rel, c.iring, c.oring)
+  WHERE n % 2 = 1),
+rsum AS (
+  SELECT r.rel,
+         sum(abs(r.sarea)) - coalesce(
+           (SELECT sum(abs(ri.sarea)) FROM cont2 c
+            JOIN rng2 ri ON ri.rel = c.rel AND ri.ring = c.ring
+                        AND ri.grp = 'i'
+            WHERE c.rel = r.rel), 0.0) AS area,
+         min(r.bl) AS bl, min(r.bb) AS bb, max(r.br) AS br, max(r.bt) AS bt
+  FROM rng2 r WHERE r.grp = 'o' GROUP BY r.rel),
+rqt2 AS (
+  SELECT rel, area, {sql_point_qt('bl', 'bb')} AS qa,
+         {_sql_tile_x('bl', 1 << 18)} AS txa,
+         {_sql_tile_y('bb', 1 << 18)} AS tya,
+         {_sql_tile_x('br', 1 << 18)} AS txb,
+         {_sql_tile_y('bt', 1 << 18)} AS tyb
+  FROM rsum),
+rq0 AS (SELECT rel, area, {sql_round_qt('qa', cdepth)} AS q0 FROM rqt2),
+rmz2 AS (SELECT rel, q0,
+                {poly_mz(mz_lookup(spec.polygons, 'rel', 'rq.rel'), 'rq.area')}
+                  AS mz
+         FROM rq0 rq),
+rfin AS (SELECT rel, CASE WHEN mz IS NULL THEN q0 ELSE {rmz} END AS quadtree
+         FROM rmz2),
+feat AS (
+  SELECT 'point' AS geom_type, id, quadtree FROM fz
+  UNION ALL
+  SELECT CASE WHEN ispoly THEN 'simple_polygon' ELSE 'linestring' END,
+         way, quadtree FROM wfin
+  UNION ALL
+  SELECT 'complicated_polygon', rel, quadtree FROM rfin)
+SELECT geom_type, {alloc} AS tile,
+       count(*) AS n_features, min(id) AS min_id, max(id) AS max_id
+FROM feat GROUP BY geom_type, {alloc}"""
 
 
 def _banker(x: str) -> str:

@@ -57,6 +57,7 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "parent_tags": oracles.q_parent_tags(docs, style),
         "minzoom_points": oracles.q_minzoom_points(docs, style, mz),
         "tile_assignment": oracles.q_tile_assignment(docs, style, mz),
+        "feature_tile_counts": oracles.q_feature_tile_counts(docs, style, mz),
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, style),
         "multipolygons_merged": oracles.q_multipolygons_merged(docs, style),
@@ -97,7 +98,7 @@ ORACLE_QUERIES = [
     "fingerprint", "embedding_topk", "events_rollup", "sessionize",
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard", "jaccard_lsh",
     "quality_score",
-    "tile_assignment", "pip_join", "knn_join", "raster_vector",
+    "tile_assignment", "feature_tile_counts", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "geojson_polygons", "geojson_lines", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "embedding_lsh_near_dup",
     "multipolygons_closed_rings", "multipolygons_merged", "waynode_errors",
