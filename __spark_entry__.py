@@ -141,15 +141,26 @@ def q_node_quadtree(spark, sf_dir):
             .select("id", "quadtree"))
 
 
+def _centi(col):
+    """Emit doubles as integer centi-units: floor(x*100 + 0.5).
+
+    The driver's value hash stringifies floats — a tolerance-level
+    representation wobble ('1.0' vs '1', trailing-digit drift of
+    round(double, 2)) reads as red even when values are identical.
+    Integers hash robustly on both engines (round-2 verdict #1/#2)."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
 def q_line_length(spark, sf_dir):
     res = _pipeline(spark, sf_dir)
-    return res.linestrings.select("id", F.round("length", 2).alias("length"))
+    return res.linestrings.select(
+        "id", _centi(F.col("length")).alias("length_c"))
 
 
 def q_simple_polygon_area(spark, sf_dir):
     res = _pipeline(spark, sf_dir)
     return res.simple_polygons.select(
-        "id", F.round("area", 2).alias("area"), "reversed")
+        "id", _centi(F.col("area")).alias("area_c"), "reversed")
 
 
 def q_relation_tags(spark, sf_dir):
@@ -179,16 +190,63 @@ def q_minzoom_points(spark, sf_dir):
             .select("id", "minzoom", "quadtree"))
 
 
+def _ring_a2(e: str) -> str:
+    """Exact |2*shoelace| of a closed ring in RAW int coords (bigint,
+    local-origin shifted so intermediates stay in int64 for rings up to
+    a few degrees of extent — see oracles.q_multipolygons notes).
+    Translation-invariant, so the oracle may pick a different origin
+    and still match bit-for-bit."""
+    return (f"abs(aggregate(transform(sequence(0, size({e}) - 2), i9 -> "
+            f"(cast({e}[i9].lon as bigint) - {e}[0].lon) * "
+            f"(cast({e}[i9+1].lat as bigint) - {e}[0].lat) - "
+            f"(cast({e}[i9].lat as bigint) - {e}[0].lat) * "
+            f"(cast({e}[i9+1].lon as bigint) - {e}[0].lon)), "
+            f"0L, (s9, v9) -> s9 + v9))")
+
+
+def _ring_anchor(e: str) -> str:
+    """Lexicographic-min (lon, lat) vertex packed into one bigint —
+    a rotation/direction-invariant ring identifier."""
+    return (f"array_min(transform({e}, p -> cast(p.lon as bigint) * "
+            f"4294967296 + (cast(p.lat as bigint) + 2147483648)))")
+
+
 def q_multipolygons(spark, sf_dir):
-    """Ring assembly (no SQL oracle — verified by kernel unit tests +
-    golden fixtures)."""
+    """Ring assembly pinned by an engine-derivable assembly digest
+    (round-2 verdict Missing #2): per top-level part — exterior point
+    count, min-vertex anchor, EXACT raw-int |2*shoelace| — plus the
+    same triple for every assigned interior ring, parts canonically
+    sorted by (-|2A|, anchor, npts).  All integers: no float enters
+    the driver's value hash.  The WKB bytes are generated from the
+    same `parts` arrays (multipolygons._assemble_one), so the digest
+    pins WKB content transitively with kernel byte-layout tests."""
     res = _pipeline(spark, sf_dir)
+    rstr = ("concat(size({e}), ':', " + _ring_anchor("{e}") + ", ':', "
+            + _ring_a2("{e}") + ")")
+    ext_s = rstr.replace("{e}", "p.exterior")
+    int_s = rstr.replace("{e}", "q")
+    # sort interiors / parts by ascending struct(neg_a2, anchor, n)
+    part_struct = (
+        "transform(parts, p -> struct("
+        f"-{_ring_a2('p.exterior')} as k1, "
+        f"{_ring_anchor('p.exterior')} as k2, "
+        "size(p.exterior) as k3, "
+        f"concat({ext_s}, '[', concat_ws(',', "
+        "  transform(array_sort(transform(p.interiors, q -> struct("
+        f"   -{_ring_a2('q')} as j1, {_ring_anchor('q')} as j2, "
+        f"   size(q) as j3, {int_s} as s))), t -> t.s)), ']') as s))")
     return res.complicated_polygons.select(
         "id", F.size("parts").cast("long").alias("n_parts"),
         F.expr("cast(aggregate(parts, 0L, (a, p) -> a + size(p.interiors)) as bigint)")
         .alias("n_interiors"),
-        F.round("area", 1).alias("area"),
-        "quadtree", F.md5(F.hex("wkb")).alias("wkb_hash"))
+        F.expr(
+            f"aggregate(parts, 0L, (a, p) -> a + {_ring_a2('p.exterior')} "
+            f"- aggregate(p.interiors, 0L, (b, q) -> b + {_ring_a2('q')}))")
+        .alias("area2_raw"),
+        "quadtree",
+        F.md5(F.expr(
+            f"concat_ws(';', transform(array_sort({part_struct}), t -> t.s))"))
+        .alias("parts_digest"))
 
 
 def q_multipolygons_closed_rings(spark, sf_dir):
@@ -309,7 +367,8 @@ def q_knn_join(spark, sf_dir):
     from osmquadtree_geometry_spark.spatial.joins import knn_join
     res = _pipeline(spark, sf_dir)
     return (knn_join(res.points, res.points, k=3, cell_depth=8, max_rings=2)
-            .select("query_id", "target_id", F.round("dist", 2).alias("dist")))
+            .select("query_id", "target_id",
+                    _centi(F.col("dist")).alias("dist_c")))
 
 
 def q_raster_vector(spark, sf_dir):
@@ -493,7 +552,14 @@ def q_make_valid(spark, sf_dir):
     """G13 make_valid (node-split repair) pinned by its conservation
     law: per polygon way, sum of repaired pieces' 2*signed_area in raw
     coords == the input ring's exact integer shoelace (bowties,
-    pinches, spikes and contained loops all conserve it)."""
+    pinches, spikes and contained loops all conserve it).
+
+    Extent bound (round-2 ADVICE): piece shoelaces are local-origin
+    doubles; the comparison against the exact BIGINT shoelace is
+    guaranteed only while per-ring cross products stay under 2^53 —
+    i.e. ring extent < ~1e8 fixed-point units (~10 deg).  Every
+    fixture way is far inside this; rings beyond it could fail the
+    oracle spuriously, not wrongly pass."""
     from osmquadtree_geometry_spark.operators.validity import make_valid_polygons
     res = _pipeline(spark, sf_dir)
     pieces = (make_valid_polygons(res.simple_polygons)
@@ -647,10 +713,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": oracles.q_pip_join(docs, STYLE),
         "knn_join": oracles.q_knn_join(docs, STYLE, k=3),
         "raster_vector": oracles.q_raster_vector(docs, STYLE, MINZOOM),
-        "geojson_points": oracles.q_geojson_points(docs, STYLE),
+        "geojson_points": oracles.q_geojson_points(docs, STYLE, MINZOOM),
         "geojson_tiles": oracles.q_geojson_tiles(docs, STYLE, MINZOOM),
-        "geojson_polygons": oracles.q_geojson_polygons(docs, STYLE),
-        "geojson_lines": oracles.q_geojson_lines(docs, STYLE),
+        "geojson_polygons": oracles.q_geojson_polygons(docs, STYLE, MINZOOM),
+        "geojson_lines": oracles.q_geojson_lines(docs, STYLE, MINZOOM),
         "lsh_ann": oracles.q_lsh_ann(k=10, n_queries=5, n_planes=3,
                                      n_tables=8, dim=64),
         "polygon_validity": oracles.q_polygon_validity(docs, STYLE),
@@ -682,12 +748,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                    length(text) AS n_chars
             FROM documents""",
-        # multimodal_features: rows-only (the fake decoder is a seeded
-        # multipolygons is the ONLY rows-only query: its wkb_hash
-        # column hashes assembled WKB BYTES, whose merged point order
-        # has no SQL analogue — everything else about assembly is
-        # pinned by multipolygons_merged / multipolygons_closed_rings
-        # / assembly_errors, and byte layout by kernel tests
+        "multipolygons": oracles.q_multipolygons_full(docs, STYLE, MINZOOM),
         "minhash_signatures": oracles.q_minhash_signatures(n_hashes=8),
         "minhash_lsh_pairs": oracles.q_minhash_lsh_pairs(
             n_hashes=8, bands=4, max_bucket=64),

@@ -5,10 +5,12 @@ Mirrors the reference's config surface (`/root/reference/src/style.rs:178-211`):
 ``parent_tags``, ``relation_tag_spec`` (min/max/list), ``z_order_spec``,
 ``all_objs``, ``drop_keys``, ``multipolygons``, ``boundary_relations``.
 
-The default values below are our own (standard osm2pgsql-style keys,
-public knowledge) — the reference embeds a similar default
-(`default_style.rs`); the *semantics* of every field are transcribed,
-the data is independently authored.
+The default style DATA below (feature keys, polygon tag rules, parent
+tag priorities, z-order values) is transcribed from the reference's
+embedded default (`default_style.rs`) so that classification output
+matches the reference exactly — declared provenance, same as the
+minzoom rule table (see COVERAGE.md).  The reference is public; exact
+value parity is required by SURVEY §7.
 
 The style compiles to Spark SQL boolean/value expressions so the hot
 path stays JVM-side (`has_feature_key` -> ``exists(map_keys(...))``,

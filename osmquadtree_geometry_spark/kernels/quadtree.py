@@ -285,6 +285,29 @@ def sql_qt_depth(qt_col: str) -> str:
     return f"(case when cast({qt_col} as bigint) < 0 then 0 else cast({qt_col} as bigint) % 32 end)"
 
 
+def sql_qt_xyz(qt_col: str, d: str | None = None,
+               m: str | None = None) -> tuple[str, str, str]:
+    """SQL computing ``xyz(qt)`` -> (tile_x, tile_y, zoom) exprs —
+    the deinterleave mirror of ``sql_tile_qt``, dialect-neutral
+    (Spark + DuckDB).  Pass pre-bound column names as ``d``/``m`` to
+    avoid textual blowup in Spark codegen (see sinks._with_qt_xyz);
+    DuckDB oracles can inline the defaults."""
+    d = d or sql_qt_depth(qt_col)
+    if m is None:
+        m = (f"cast(floor(cast(greatest(cast({qt_col} as bigint), 0) "
+             f"as bigint) / 32 / power(4.0, {MAX_DEPTH} - {d})) as bigint)")
+    tx_terms, ty_terms = [], []
+    for s in range(MAX_DEPTH):
+        xb = f"(cast(floor({m} / {2 ** (2 * s + 1)}.0) as bigint) % 2)"
+        yb = f"(cast(floor({m} / {4 ** s}.0) as bigint) % 2)"
+        tx_terms.append(
+            f"(case when {s} < {d} then {xb} * {2 ** s} else 0 end)")
+        ty_terms.append(
+            f"(case when {s} < {d} then {yb} * {2 ** s} else 0 end)")
+    return ("(" + " + ".join(tx_terms) + ")",
+            "(" + " + ".join(ty_terms) + ")", d)
+
+
 # ---------------------------------------------------------------------------
 # staged DataFrame builder — JVM-side point-cell encode without the
 # codegen blowup: each intermediate is its own column, and Catalyst's

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geomcalc import ring_area, segment_intersects
+from .geomcalc import ring_area
 from .mercator import forward
 
 
@@ -53,17 +53,44 @@ def dedupe_consecutive(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np
 
 
 def ring_self_intersects(lon: np.ndarray, lat: np.ndarray) -> bool:
-    """O(n²) non-adjacent segment intersection test (the reference's
-    own intersection primitives are O(n·m) too, `position.rs:251-269`)."""
+    """Non-adjacent segment intersection test — numpy-vectorized over
+    all O(n²) pairs with a segment-bbox prefilter (round-2 verdict
+    minor #7; the pure-Python double loop dominated with_validity).
+    Same predicate semantics as ``geomcalc.segment_intersects``
+    (float cross-product signs; strict both-sides straddle, so vertex
+    touches count and collinear overlaps pass through)."""
     n = len(lon) - 1  # closed ring: last == first
-    for i in range(n):
-        for j in range(i + 2, n):
-            if i == 0 and j == n - 1:
-                continue  # adjacent through the closure
-            if segment_intersects((lon[i], lat[i]), (lon[i + 1], lat[i + 1]),
-                                  (lon[j], lat[j]), (lon[j + 1], lat[j + 1])):
-                return True
-    return False
+    if n < 3:
+        return False
+    x = np.asarray(lon, np.float64)
+    y = np.asarray(lat, np.float64)
+    ax, ay, bx, by = x[:-1], y[:-1], x[1:], y[1:]
+    i, j = np.triu_indices(n, k=2)
+    keep = ~((i == 0) & (j == n - 1))  # adjacent through the closure
+    i, j = i[keep], j[keep]
+    if len(i) == 0:
+        return False
+    # bbox prefilter: only straddling candidates reach the cross math
+    minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
+    miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
+    ok = ~((maxx[i] < minx[j]) | (maxx[j] < minx[i]) |
+           (maxy[i] < miny[j]) | (maxy[j] < miny[i]))
+    i, j = i[ok], j[ok]
+    if len(i) == 0:
+        return False
+
+    def side(px, py, qx, qy, rx, ry):
+        return np.sign((rx - px) * (qy - py) - (qx - px) * (ry - py))
+
+    s1 = side(ax[i], ay[i], bx[i], by[i], ax[j], ay[j])
+    s2 = side(ax[i], ay[i], bx[i], by[i], bx[j], by[j])
+    hit = s1 != s2
+    if not hit.any():
+        return False
+    i, j = i[hit], j[hit]
+    s3 = side(ax[j], ay[j], bx[j], by[j], ax[i], ay[i])
+    s4 = side(ax[j], ay[j], bx[j], by[j], bx[i], by[i])
+    return bool(np.any(s3 != s4))
 
 
 def is_valid_ring(lon: np.ndarray, lat: np.ndarray) -> bool:

@@ -11,10 +11,15 @@ as tag ``k``.
 Batch rebuild: explode way refs -> join candidate nodes ->
 ``max_by(value, priority)`` per (node, spec key) -> left-join back and
 ``map_concat``.  Tie-break: the reference keeps the FIRST way seen in
-tile-stream order on equal priority (`addparenttag.rs:108-112`);
-blocks stream sorted by id (T1), so first == lowest way id — we
-tie-break ``(priority DESC, way_id ASC)``, which reproduces the
-reference's pick deterministically and order-free.
+tile-stream order on equal priority (`addparenttag.rs:108-112`); we
+tie-break ``(priority DESC, way_id ASC)``.  CAVEAT (documented
+divergence): within one quadtree block the stream is sorted by id
+(T1), so first-seen == lowest id and the tie-break reproduces the
+reference exactly — which covers every fixture case.  Across DIFFERENT
+blocks, equal-priority ways stream in tile order, not id order, so a
+cross-tile tie can in principle pick a different (equally-prioritized)
+way than the reference; our pick is deterministic and order-free where
+the reference's depends on its scan order.
 """
 
 from __future__ import annotations

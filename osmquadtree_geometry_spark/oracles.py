@@ -169,7 +169,8 @@ seg AS (SELECT wp.way,
                sqrt(power(x - lag(x) OVER w, 2) + power(y - lag(y) OVER w, 2)) AS d
         FROM wp JOIN lines ON wp.way = lines.way
         WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos))
-SELECT way AS id, round(coalesce(sum(d), 0.0), 2) AS length
+SELECT way AS id,
+       cast(floor(coalesce(sum(d), 0.0) * 100 + 0.5) AS bigint) AS length_c
 FROM seg GROUP BY way"""
 
 
@@ -189,7 +190,8 @@ cr AS (SELECT wp.way,
        FROM wp JOIN polys ON wp.way = polys.way
        WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos)),
 ar AS (SELECT way, -0.5 * sum(c) AS signed_area FROM cr GROUP BY way)
-SELECT way AS id, round(abs(signed_area), 2) AS area,
+SELECT way AS id,
+       cast(floor(abs(signed_area) * 100 + 0.5) AS bigint) AS area_c,
        signed_area < 0 AS reversed
 FROM ar"""
 
@@ -477,19 +479,23 @@ def _parent_tag_union(style: GeometryStyle) -> str:
         else:
             prio = "0"
         # tie-break (priority DESC, way_id ASC) == reference's
-        # first-way-in-stream pick; scalar key since DuckDB max_by
-        # takes no struct (prio <= ~1e3, way ids < 1e13 in fixtures)
+        # first-way-in-stream pick; a composite ORDER BY (window
+        # row_number) instead of the old scalar prio*1e13-way_id key,
+        # which silently corrupted ordering for negative or >=1e13
+        # ids (round-2 ADVICE)
         parts.append(f"""
-SELECT node_id, {_lit(spec_key)} AS spec_key,
-       max_by(val, CAST(prio AS BIGINT) * 10000000000000 - way_id) AS val
+SELECT node_id, {_lit(spec_key)} AS spec_key, val
 FROM (
-  SELECT wr.ref AS node_id, wr.way AS way_id, wt.v AS val, {prio} AS prio
-  FROM wr
-  JOIN tg wt ON wt.elem = 'way' AND wt.id = wr.way AND wt.k = {_lit(sp.way_key)}
-  WHERE EXISTS (SELECT 1 FROM tg nt WHERE nt.elem = 'node'
-                AND nt.id = wr.ref AND nt.k IN ({nkeys}))
-) t WHERE prio IS NOT NULL
-GROUP BY node_id""")
+  SELECT node_id, val, row_number() OVER (
+           PARTITION BY node_id ORDER BY prio DESC, way_id ASC) AS rn
+  FROM (
+    SELECT wr.ref AS node_id, wr.way AS way_id, wt.v AS val, {prio} AS prio
+    FROM wr
+    JOIN tg wt ON wt.elem = 'way' AND wt.id = wr.way AND wt.k = {_lit(sp.way_key)}
+    WHERE EXISTS (SELECT 1 FROM tg nt WHERE nt.elem = 'node'
+                  AND nt.id = wr.ref AND nt.k IN ({nkeys}))
+  ) t WHERE prio IS NOT NULL
+) r WHERE rn = 1""")
     return " UNION ALL ".join(f"({p})" for p in parts)
 
 
@@ -610,7 +616,8 @@ pairs AS (SELECT q.id AS query_id, t.id AS target_id,
           FROM fpts q JOIN fpts t ON q.id <> t.id),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY dist, target_id) AS rn FROM pairs)
-SELECT query_id, target_id, round(dist, 2) AS dist
+SELECT query_id, target_id,
+       cast(floor(dist * 100 + 0.5) AS bigint) AS dist_c
 FROM ranked WHERE rn <= {k}"""
 
 
@@ -679,9 +686,14 @@ def _geojson_point_feature(style: GeometryStyle) -> str:
              f"FROM ({own}) u WHERE {_tag_keep_cond(style, 'u')}) "
              f"|| '}}', '{{}}')")
     return (f"'{{\"type\":\"Feature\",\"id\":' || nd.id || "
+            f"',\"quadtree\":' || {_qt_xyz_dd('fz.quadtree')} || "
             f"',\"properties\":' || {props} || "
             f"',\"geometry\":{{\"type\":\"Point\",\"coordinates\":[' || "
-            f"{_dd_deg('nd.lon')} || ',' || {_dd_deg('nd.lat')} || ']}}}}'")
+            f"{_dd_deg('nd.lon')} || ',' || {_dd_deg('nd.lat')} || ']}}' || "
+            f"{_opt_dd('layer', _layer_dd('node', 'nd.id'))} || "
+            f"{_opt_dd('minzoom', 'fz.mz')} || "
+            f"',\"bbox\":' || "
+            f"{_bbox_dd('nd.lon', 'nd.lat', 'nd.lon', 'nd.lat')} || '}}'")
 
 
 def _ptag_cte(style: GeometryStyle) -> str:
@@ -690,10 +702,12 @@ def _ptag_cte(style: GeometryStyle) -> str:
     return f"ptag AS ({_parent_tag_union(style)})"
 
 
-def q_geojson_points(docs_path: str, style: GeometryStyle) -> str:
-    return f"""WITH {base_ctes(docs_path)}, {_ptag_cte(style)}
+def q_geojson_points(docs_path: str, style: GeometryStyle,
+                     spec: MinZoomSpec) -> str:
+    return f"""WITH {base_ctes(docs_path)}, {_ptag_cte(style)},
+{_fz_cte(style, spec)}
 SELECT nd.id AS id, {_geojson_point_feature(style)} AS feature
-FROM nd WHERE {feature_exists(style, 'node', 'nd.id')}"""
+FROM fz JOIN nd ON nd.id = fz.id"""
 
 
 def q_geojson_tiles(docs_path: str, style: GeometryStyle,
@@ -726,14 +740,88 @@ def _deg_dd(col: str) -> str:
             f"lpad(CAST(abs({col}) % 10000000 AS VARCHAR), 7, '0'))")
 
 
-def q_geojson_polygons(docs_path: str, style: GeometryStyle) -> str:
+def _num1_dd(col: str) -> str:
+    """1dp number string (mirror of sinks._num1_str)."""
+    v10 = f"CAST(floor(({col}) * 10.0 + 0.5) AS BIGINT)"
+    return (f"(CAST(({v10}) // 10 AS VARCHAR) || '.' || "
+            f"CAST(({v10}) % 10 AS VARCHAR))")
+
+
+def _opt_dd(name: str, expr: str) -> str:
+    """Optional numeric JSON member (mirror of sinks._opt_field)."""
+    return (f"(CASE WHEN ({expr}) IS NULL THEN '' "
+            f"ELSE ',\"{name}\":' || CAST({expr} AS VARCHAR) END)")
+
+
+def _qt_xyz_dd(qt_expr: str) -> str:
+    """'[x,y,z]' string for a quadtree cell (kernels.sql_qt_xyz is
+    dialect-neutral)."""
+    from .kernels.quadtree import sql_qt_xyz
+    tx, ty, d = sql_qt_xyz(qt_expr)
+    return (f"('[' || CAST({tx} AS VARCHAR) || ',' || "
+            f"CAST({ty} AS VARCHAR) || ',' || CAST({d} AS VARCHAR) || ']')")
+
+
+def _bbox_dd(a: str, b: str, c: str, d: str) -> str:
+    """'[minlon,minlat,maxlon,maxlat]' at fixed 7dp."""
+    return (f"('[' || {_deg_dd(a)} || ',' || {_deg_dd(b)} || ',' || "
+            f"{_deg_dd(c)} || ',' || {_deg_dd(d)} || ']')")
+
+
+def _layer_dd(elem: str, id_expr: str) -> str:
+    """style.sql_layer mirror: int-parsed 'layer' tag, NULL otherwise."""
+    return (f"(SELECT try_cast(tg.v AS BIGINT) FROM tg "
+            f"WHERE tg.elem = '{elem}' AND tg.id = {id_expr} "
+            f"AND tg.k = 'layer')")
+
+
+def _zorder_dd(style: GeometryStyle, id_expr: str) -> str:
+    """style.sql_z_order mirror: max over tags of (exact-pair z,
+    else star-key z)."""
+    pairs, stars = [], {}
+    for k, vals in style.z_order_spec.items():
+        for v, z in vals.items():
+            if v == "*":
+                stars[k] = z
+            else:
+                pairs.append(((k, v), z))
+    e_cases = " ".join(f"WHEN tg.k = {_lit(k)} AND tg.v = {_lit(v)} THEN {z}"
+                       for (k, v), z in pairs) or "WHEN false THEN 0"
+    s_cases = " ".join(f"WHEN tg.k = {_lit(k)} THEN {z}"
+                       for k, z in stars.items()) or "WHEN false THEN 0"
+    return (f"(SELECT max(coalesce(CASE {e_cases} ELSE NULL END, "
+            f"CASE {s_cases} ELSE NULL END)) FROM tg "
+            f"WHERE tg.elem = 'way' AND tg.id = {id_expr})")
+
+
+def _bbox_qt_dd(bl: str, bb: str, br: str, bt: str) -> str:
+    """calculate_bbox mirror: corner cells at depth 18 rounded to the
+    deepest depth where both corners share a tile (the
+    with_bbox_quadtree recalc)."""
+    cd = (f"list_max(list_filter(generate_series(0, 18), dd -> "
+          f"floor({_sql_tile_x(bl, 1 << 18)} / power(2, 18 - dd)) "
+          f"= floor({_sql_tile_x(br, 1 << 18)} / power(2, 18 - dd)) "
+          f"AND floor({_sql_tile_y(bb, 1 << 18)} / power(2, 18 - dd)) "
+          f"= floor({_sql_tile_y(bt, 1 << 18)} / power(2, 18 - dd))))")
+    return sql_round_qt(sql_point_qt(bl, bb), cd)
+
+
+def q_geojson_polygons(docs_path: str, style: GeometryStyle,
+                       spec: MinZoomSpec) -> str:
     """Simple-polygon GeoJSON features (S6): way props = way tags +
     J4 relation-tag merges (sorted keys), ring coordinates at fixed
     7dp, REVERSED polygons emit their coordinate list reversed
     (simplepolygongeometry.rs:12-27; reversed = mercator shoelace
-    sign, same derivation as simple_polygon_area)."""
+    sign, same derivation as simple_polygon_area).  Round-3 parity
+    members: quadtree [x,y,z] (bbox recalc + minzoom rounding),
+    way_area 1dp, optional layer/minzoom, trailing bbox
+    (z_order is always NULL for polygons -> omitted, matching the
+    engine's make_ways)."""
     is_poly = polygon_match(style, "wstat.way")
     pt = f"concat('[', {_deg_dd('wp.lon')}, ',', {_deg_dd('wp.lat')}, ']')"
+    mz = _poly_mz_sql(spec, _mz_lookup_sql(spec.polygons, "way", "g.way"),
+                      "g.area")
+    rqt = sql_round_qt("g.q0", "g.mz")
     return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
 polys AS (
   SELECT wstat.way FROM wstat
@@ -745,7 +833,22 @@ cr AS (SELECT wp.way,
               (x * lead(y) OVER w - y * lead(x) OVER w) AS c
        FROM wp JOIN polys ON wp.way = polys.way
        WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos)),
-ar AS (SELECT way, (-0.5 * sum(c)) < 0 AS rev FROM cr GROUP BY way),
+ar AS (SELECT way, (-0.5 * sum(c)) < 0 AS rev,
+              abs(-0.5 * sum(c)) AS area
+       FROM cr GROUP BY way),
+geo AS MATERIALIZED (
+  SELECT wp.way, min(wp.lon) AS bl, min(wp.lat) AS bb,
+         max(wp.lon) AS br, max(wp.lat) AS bt
+  FROM wp JOIN polys ON wp.way = polys.way GROUP BY wp.way),
+gq AS MATERIALIZED (
+  SELECT g.way, g.mz,
+         CASE WHEN g.mz IS NULL THEN g.q0 ELSE {rqt} END AS quadtree,
+         g.bl, g.bb, g.br, g.bt
+  FROM (SELECT g.way, {mz} AS mz,
+               {_bbox_qt_dd('g.bl', 'g.bb', 'g.br', 'g.bt')} AS q0,
+               g.bl, g.bb, g.br, g.bt
+        FROM (SELECT geo.*, ar.area FROM geo
+              JOIN ar ON ar.way = geo.way) g) g),
 pj AS (SELECT wp.way, list({pt} ORDER BY wp.pos) AS pts
        FROM wp JOIN polys ON wp.way = polys.way GROUP BY wp.way),
 alltags AS (
@@ -758,19 +861,31 @@ props AS (SELECT way,
           FROM alltags GROUP BY way)
 SELECT p.way AS id,
        '{{"type":"Feature","id":' || CAST(p.way AS VARCHAR) ||
+       ',"quadtree":' || {_qt_xyz_dd('gq.quadtree')} ||
        ',"properties":' || props.pjson ||
        ',"geometry":{{"type":"Polygon","coordinates":[[' ||
        array_to_string(CASE WHEN ar.rev THEN list_reverse(p.pts)
                             ELSE p.pts END, ',') ||
-       ']]}}}}' AS feature
-FROM pj p JOIN ar ON ar.way = p.way JOIN props ON props.way = p.way"""
+       ']]}}' ||
+       ',"way_area":' || {_num1_dd('ar.area')} ||
+       {_opt_dd('layer', _layer_dd('way', 'p.way'))} ||
+       {_opt_dd('minzoom', 'gq.mz')} ||
+       ',"bbox":' || {_bbox_dd('gq.bl', 'gq.bb', 'gq.br', 'gq.bt')} ||
+       '}}' AS feature
+FROM pj p JOIN ar ON ar.way = p.way JOIN props ON props.way = p.way
+JOIN gq ON gq.way = p.way"""
 
 
-def q_geojson_lines(docs_path: str, style: GeometryStyle) -> str:
+def q_geojson_lines(docs_path: str, style: GeometryStyle,
+                    spec: MinZoomSpec) -> str:
     """Linestring GeoJSON features (S6): same byte-exact recipe as
-    q_geojson_polygons over the non-polygon feature ways."""
+    q_geojson_polygons over the non-polygon feature ways.  Round-3
+    parity members: quadtree [x,y,z], way_length 1dp, optional
+    layer/z_order/minzoom, trailing bbox."""
     is_poly = polygon_match(style, "wstat.way")
     pt = f"concat('[', {_deg_dd('wp.lon')}, ',', {_deg_dd('wp.lat')}, ']')"
+    mz = _mz_lookup_sql(spec.lines, "way", "g.way")
+    rqt = sql_round_qt("g.q0", "g.mz")
     return f"""WITH {base_ctes(docs_path)}, {_way_pts(style)},
 lines AS (
   SELECT wstat.way FROM wstat
@@ -778,6 +893,23 @@ lines AS (
     AND {feature_exists(style, 'way', 'wstat.way')}
     AND NOT (wstat.f = wstat.l AND {is_poly})
 ),
+seg AS (SELECT wp.way,
+               sqrt(power(x - lag(x) OVER w, 2) + power(y - lag(y) OVER w, 2)) AS d
+        FROM wp JOIN lines ON wp.way = lines.way
+        WINDOW w AS (PARTITION BY wp.way ORDER BY wp.pos)),
+ln AS (SELECT way, coalesce(sum(d), 0.0) AS length FROM seg GROUP BY way),
+geo AS MATERIALIZED (
+  SELECT wp.way, min(wp.lon) AS bl, min(wp.lat) AS bb,
+         max(wp.lon) AS br, max(wp.lat) AS bt
+  FROM wp JOIN lines ON wp.way = lines.way GROUP BY wp.way),
+gq AS MATERIALIZED (
+  SELECT g.way, g.mz,
+         CASE WHEN g.mz IS NULL THEN g.q0 ELSE {rqt} END AS quadtree,
+         g.bl, g.bb, g.br, g.bt
+  FROM (SELECT g.way, {mz} AS mz,
+               {_bbox_qt_dd('g.bl', 'g.bb', 'g.br', 'g.bt')} AS q0,
+               g.bl, g.bb, g.br, g.bt
+        FROM geo g) g),
 pj AS (SELECT wp.way, list({pt} ORDER BY wp.pos) AS pts
        FROM wp JOIN lines ON wp.way = lines.way GROUP BY wp.way),
 alltags AS (
@@ -790,10 +922,18 @@ props AS (SELECT way,
           FROM alltags GROUP BY way)
 SELECT p.way AS id,
        '{{"type":"Feature","id":' || CAST(p.way AS VARCHAR) ||
+       ',"quadtree":' || {_qt_xyz_dd('gq.quadtree')} ||
        ',"properties":' || props.pjson ||
        ',"geometry":{{"type":"LineString","coordinates":[' ||
-       array_to_string(p.pts, ',') || ']}}}}' AS feature
-FROM pj p JOIN props ON props.way = p.way"""
+       array_to_string(p.pts, ',') || ']}}' ||
+       ',"way_length":' || {_num1_dd('ln.length')} ||
+       {_opt_dd('layer', _layer_dd('way', 'p.way'))} ||
+       {_opt_dd('z_order', _zorder_dd(style, 'p.way'))} ||
+       {_opt_dd('minzoom', 'gq.mz')} ||
+       ',"bbox":' || {_bbox_dd('gq.bl', 'gq.bb', 'gq.br', 'gq.bt')} ||
+       '}}' AS feature
+FROM pj p JOIN props ON props.way = p.way
+JOIN ln ON ln.way = p.way JOIN gq ON gq.way = p.way"""
 
 
 def q_multipolygons_closed_rings(docs_path: str,
@@ -916,7 +1056,7 @@ def q_multipolygons_merged(docs_path: str, style: GeometryStyle) -> str:
         "(wm2.ll[i-1].lat * 1e-7 - wm2.ll[i].lat * 1e-7) + "
         "wm2.ll[i].lon * 1e-7))")
     return f"""WITH RECURSIVE {base_ctes(docs_path)}, {_way_pts(style)},
-wm AS (
+wm AS MATERIALIZED (
   SELECT way, ll, f, l,
          list_sum(list_transform(generate_series(1, len(ll) - 1),
              i -> ll[i].x * ll[i+1].y - ll[i].y * ll[i+1].x)) AS partial,
@@ -942,13 +1082,13 @@ relok AS (
   WHERE EXISTS (SELECT 1 FROM tg WHERE tg.elem = 'rel' AND tg.id = rel
                 AND tg.k = 'type' AND tg.v IN ({types}))
     AND {feature_exists(style, 'rel', 'rel')}),
-memb AS (
+memb AS MATERIALIZED (
   SELECT DISTINCT rm.rel, CASE WHEN rm.role = 'inner' THEN 'i' ELSE 'o' END
            AS grp, rm.ref AS way
   FROM rm WHERE rm.rel IN (SELECT rel FROM relok) AND rm.mem_type = 'way'),
-open_m AS (SELECT memb.*, wm.f, wm.l, wm.partial
+open_m AS MATERIALIZED (SELECT memb.*, wm.f, wm.l, wm.partial
            FROM memb JOIN wm ON wm.way = memb.way WHERE wm.f != wm.l),
-closed_m AS (SELECT memb.* FROM memb JOIN wm ON wm.way = memb.way
+closed_m AS MATERIALIZED (SELECT memb.* FROM memb JOIN wm ON wm.way = memb.way
              WHERE wm.f = wm.l),
 -- degree-2 restriction: any endpoint used by 3+ open ways in a group
 -- makes the merge stream-order ambiguous -> drop the relation
@@ -978,7 +1118,7 @@ walk(rel, grp, start, cur_node, home, used, acc) AS (
 cycles AS (
   SELECT rel, grp, start AS ring, used, -0.5 * acc AS sarea
   FROM walk WHERE cur_node = home AND start = list_min(used)),
-rings AS (
+rings AS MATERIALIZED (
   SELECT c.rel, c.grp, c.way AS ring, [c.way] AS used,
          -0.5 * wm.partial AS sarea,
          wm.minlon, wm.minlat, wm.maxlon, wm.maxlat,
@@ -992,15 +1132,15 @@ rings AS (
   FROM cycles cy, unnest(cy.used) AS u(w)
   JOIN wm ON wm.way = u.w
   GROUP BY cy.rel, cy.grp, cy.ring, cy.used, cy.sarea),
-ring_ways AS (
+ring_ways AS MATERIALIZED (
   SELECT rel, grp, ring, unnest(used) AS w FROM rings),
-cand_io AS (
+cand_io AS MATERIALIZED (
   SELECT ri.rel, ri.ring AS iring, ro.ring AS oring, ri.tx, ri.ty
   FROM rings ri JOIN rings ro ON ro.rel = ri.rel AND ro.grp = 'o'
   WHERE ri.grp = 'i'
     AND ro.minlon <= ri.minlon AND ro.minlat <= ri.minlat
     AND ro.maxlon >= ri.maxlon AND ro.maxlat >= ri.maxlat),
-contained AS (
+contained AS MATERIALIZED (
   SELECT DISTINCT rel, iring AS ring FROM (
     SELECT c.rel, c.iring, c.oring, sum({cross_cnt}) AS n
     FROM cand_io c
@@ -1041,6 +1181,232 @@ SELECT r.rel AS id, count(*) AS n_parts,
 FROM rings r JOIN qtr ON qtr.rel = r.rel
 WHERE r.grp = 'o'
 GROUP BY r.rel"""
+
+
+def _mz_lookup_sql(table: dict, elem: str, id_expr: str) -> str:
+    """Min matching minzoom rule over the tg CTE (exact k=v rules beat
+    k=* rules per tag; min across tags)."""
+    exact = [((k, v), z) for (k, v), z in table.items() if v != "*"]
+    stars = [(k, z) for (k, v), z in table.items() if v == "*"]
+    e_cases = " ".join(
+        f"WHEN tg.k = {_lit(k)} AND tg.v = {_lit(v)} THEN {z}"
+        for (k, v), z in exact) or "WHEN false THEN 0"
+    s_cases = " ".join(f"WHEN tg.k = {_lit(k)} THEN {z}"
+                       for k, z in stars) or "WHEN false THEN 0"
+    return (f"(SELECT min(coalesce(CASE {e_cases} ELSE NULL END, "
+            f"CASE {s_cases} ELSE NULL END)) FROM tg "
+            f"WHERE tg.elem = '{elem}' AND tg.id = {id_expr})")
+
+
+def _poly_mz_sql(spec: MinZoomSpec, base: str, area: str) -> str:
+    """Polygon minzoom = max(rule minzoom, area floor) — the zoom at
+    which the polygon covers >= min_area px² (config/minzoom.py)."""
+    from .config.minzoom import MAX_MINZOOM
+    floor_ = (f"least(CAST({MAX_MINZOOM} AS BIGINT), CAST(floor(CASE "
+              f"WHEN abs(sqrt(({area}) / {spec.min_area})) < 0.001 THEN 20.0 "
+              f"ELSE log2({EARTH_WIDTH!r} * 2.0 / sqrt(({area}) / {spec.min_area}) "
+              f"/ 256.0) END) AS BIGINT))")
+    return (f"(CASE WHEN ({base}) IS NULL THEN NULL "
+            f"ELSE greatest({base}, {floor_}) END)")
+
+
+def q_multipolygons_full(docs_path: str, style: GeometryStyle,
+                         spec: MinZoomSpec | None = None) -> str:
+    """FULL multipolygon assembly-digest oracle (round-2 verdict
+    Missing #2 / Next #5): unlike ``q_multipolygons_merged`` it does
+    NOT restrict to all-members-resolvable relations — missing member
+    ways are simply skipped (the pipeline's inner-join ``wnas`` path,
+    multipolygons.rs:232-237) — and it replicates order_rings' full
+    part construction (multipolygons.rs:19-77):
+
+      * outer-role rings CONTAINED in a larger outer ring are demoted
+        to interiors of it (engine: _add_ring tests each area-sorted
+        ring against already-placed exteriors);
+      * contained rings attach to the LARGEST containing top-level
+        part (res is built in decreasing-area order, first hit wins);
+      * inner rings contained in no top-level part are dropped.
+
+    Digest values are EXACT int64: |2*shoelace| of each ring in raw
+    1e-7-degree coords, computed from per-way partial sums over a
+    relation-local origin (translation-invariant, so the Spark side's
+    per-ring origin yields the identical integer).  Exactness bound:
+    intermediates stay in int64 while a relation's coordinate extent
+    is < ~6e7 units (~6 deg) for 1k-point rings — documented, holds
+    for every fixture scene.  Rings are identified by a
+    rotation/direction-invariant anchor (packed lexicographic-min
+    vertex); parts sort canonically by (-|2A|, anchor, npts, str).
+    No float ever reaches the value hash."""
+    mp_types = (["multipolygon", "boundary"] if style.boundary_relations
+                else ["multipolygon"])
+    types = ", ".join(_lit(t) for t in mp_types)
+    mx = merc_x("wp.lon")
+    my = merc_y("wp.lat")
+    # pnpoly crossing count of one member way's edges vs test point
+    # (tx, ty) — same float arithmetic as kernels.geomcalc.points_in_ring
+    cross = (
+        "len(list_filter(generate_series(2, len(wl.ll)), i -> "
+        "((wl.ll[i].lat * 1e-7 > a.ty * 1e-7) != "
+        " (wl.ll[i-1].lat * 1e-7 > a.ty * 1e-7)) "
+        "AND a.tx * 1e-7 < "
+        "(wl.ll[i-1].lon * 1e-7 - wl.ll[i].lon * 1e-7) * "
+        "(a.ty * 1e-7 - wl.ll[i].lat * 1e-7) / "
+        "(wl.ll[i-1].lat * 1e-7 - wl.ll[i].lat * 1e-7) + "
+        "wl.ll[i].lon * 1e-7))")
+    rstr = "r.npts || ':' || r.anchor || ':' || r.a2"
+    mzq = ("NULL" if spec is None else _poly_mz_sql(
+        spec, _mz_lookup_sql(spec.polygons, "rel", "q.rel"), "ra.marea"))
+    return f"""WITH RECURSIVE {base_ctes(docs_path)}, {_way_pts(style)},
+wmg AS MATERIALIZED (  -- per-way geometry: merc partial, bbox, anchor, first point
+  SELECT way, ll, f, l, len(ll) AS npts,
+         list_sum(list_transform(generate_series(1, len(ll) - 1),
+             i -> ll[i].x * ll[i+1].y - ll[i].y * ll[i+1].x)) AS partial,
+         list_min(list_transform(ll, p -> p.lon)) AS minlon,
+         list_min(list_transform(ll, p -> p.lat)) AS minlat,
+         list_max(list_transform(ll, p -> p.lon)) AS maxlon,
+         list_max(list_transform(ll, p -> p.lat)) AS maxlat,
+         list_min(list_transform(ll, p -> cast(p.lon AS bigint) * 4294967296
+             + (cast(p.lat AS bigint) + 2147483648))) AS anchor,
+         ll[1].lon AS p1lon, ll[1].lat AS p1lat
+  FROM (SELECT wp.way, wstat.f, wstat.l,
+               list(struct_pack(lon := wp.lon, lat := wp.lat,
+                                x := {mx}, y := {my}) ORDER BY wp.pos) AS ll
+        FROM wp JOIN wstat ON wstat.way = wp.way
+        WHERE wp.way IN (SELECT way FROM wok)
+        GROUP BY wp.way, wstat.f, wstat.l)),
+relok AS (
+  SELECT DISTINCT tg.id AS rel FROM tg
+  WHERE tg.elem = 'rel' AND tg.k = 'type' AND tg.v IN ({types})
+    AND {feature_exists(style, 'rel', 'tg.id')}),
+memb AS (  -- resolvable member ways only; missing ones skipped
+  SELECT DISTINCT rm.rel,
+         CASE WHEN rm.role = 'inner' THEN 'i' ELSE 'o' END AS grp,
+         rm.ref AS way
+  FROM rm WHERE rm.rel IN (SELECT rel FROM relok)
+    AND rm.mem_type = 'way' AND rm.ref IN (SELECT way FROM wmg)),
+relo AS MATERIALIZED (  -- relation-local origin for exact int64 shoelaces
+  SELECT m.rel, min(g.minlon) AS olon, min(g.minlat) AS olat
+  FROM memb m JOIN wmg g ON g.way = m.way GROUP BY m.rel),
+wmx AS MATERIALIZED (  -- per (rel, way): exact raw-int directed 2*shoelace partial
+  SELECT m.rel, m.grp, m.way, g.f, g.l, g.npts, g.partial, g.anchor,
+         g.minlon, g.minlat, g.maxlon, g.maxlat, g.p1lon, g.p1lat,
+         list_sum(list_transform(generate_series(1, len(g.ll) - 1), i ->
+             (cast(g.ll[i].lon AS bigint) - o.olon)
+               * (cast(g.ll[i+1].lat AS bigint) - o.olat)
+             - (cast(g.ll[i].lat AS bigint) - o.olat)
+               * (cast(g.ll[i+1].lon AS bigint) - o.olon))) AS i2a
+  FROM memb m JOIN wmg g ON g.way = m.way JOIN relo o ON o.rel = m.rel),
+open_m AS (SELECT * FROM wmx WHERE f != l),
+closed_m AS (SELECT * FROM wmx WHERE f = l),
+walk(rel, grp, start, cur_node, home, used, acc, acc2) AS (
+  SELECT rel, grp, way, l, f, [way], partial, i2a FROM open_m
+  UNION ALL
+  SELECT w.rel, w.grp, w.start,
+         CASE WHEN m.f = w.cur_node THEN m.l ELSE m.f END,
+         w.home, list_append(w.used, m.way),
+         w.acc + CASE WHEN m.f = w.cur_node THEN m.partial
+                      ELSE -m.partial END,
+         w.acc2 + CASE WHEN m.f = w.cur_node THEN m.i2a ELSE -m.i2a END
+  FROM walk w JOIN open_m m
+    ON m.rel = w.rel AND m.grp = w.grp
+   AND m.way > w.start  -- min-start prune (see q_multipolygons_merged)
+   AND NOT list_contains(w.used, m.way)
+   AND (m.f = w.cur_node OR m.l = w.cur_node)
+  WHERE w.cur_node != w.home),
+cycles AS (
+  SELECT rel, grp, start AS ring, used, -0.5 * acc AS sarea,
+         abs(acc2) AS a2
+  FROM walk WHERE cur_node = home AND start = list_min(used)),
+rings AS MATERIALIZED (  -- (rel, grp, ring): closed single ways + merged cycles
+  SELECT c.rel, c.grp, c.way AS ring, [c.way] AS used,
+         -0.5 * c.partial AS sarea, abs(c.i2a) AS a2,
+         cast(c.npts AS bigint) AS npts, c.anchor,
+         c.minlon, c.minlat, c.maxlon, c.maxlat,
+         c.p1lon AS tx, c.p1lat AS ty
+  FROM closed_m c
+  UNION ALL
+  SELECT cy.rel, cy.grp, cy.ring, cy.used, cy.sarea, cy.a2,
+         cast(sum(w.npts - 1) + 1 AS bigint), min(w.anchor),
+         min(w.minlon), min(w.minlat), max(w.maxlon), max(w.maxlat),
+         arg_min(w.p1lon, w.way), arg_min(w.p1lat, w.way)
+  FROM cycles cy
+  JOIN wmx w ON w.rel = cy.rel AND w.grp = cy.grp
+            AND list_contains(cy.used, w.way)
+  GROUP BY cy.rel, cy.grp, cy.ring, cy.used, cy.sarea, cy.a2),
+ring_ways AS (SELECT rel, grp, ring, unnest(used) AS w FROM rings),
+cpairs AS MATERIALIZED (  -- candidate containment: any ring vs strictly larger outer
+  SELECT a.rel, a.agrp, a.aring, a.bring, a.bsz, sum({cross}) AS ncross
+  FROM (SELECT a.rel, a.grp AS agrp, a.ring AS aring, b.ring AS bring,
+               abs(b.sarea) AS bsz, a.tx, a.ty
+        FROM rings a JOIN rings b
+          ON b.rel = a.rel AND b.grp = 'o'
+         AND abs(b.sarea) > abs(a.sarea)
+         AND NOT (a.grp = 'o' AND a.ring = b.ring)
+         AND b.minlon <= a.minlon AND b.minlat <= a.minlat
+         AND b.maxlon >= a.maxlon AND b.maxlat >= a.maxlat) a
+  JOIN ring_ways rwb ON rwb.rel = a.rel AND rwb.grp = 'o'
+                    AND rwb.ring = a.bring
+  JOIN (SELECT way, ll FROM wmg) wl ON wl.way = rwb.w
+  GROUP BY a.rel, a.agrp, a.aring, a.bring, a.bsz),
+cont AS MATERIALIZED (SELECT rel, agrp, aring, bring, bsz FROM cpairs
+         WHERE ncross % 2 = 1),
+demoted AS (SELECT DISTINCT rel, aring AS ring FROM cont WHERE agrp = 'o'),
+tl AS MATERIALIZED (  -- top-level parts: outer rings not contained in a larger outer
+  SELECT r.* FROM rings r
+  WHERE r.grp = 'o' AND NOT EXISTS (
+    SELECT 1 FROM demoted d WHERE d.rel = r.rel AND d.ring = r.ring)),
+asg AS MATERIALIZED (  -- contained ring -> largest containing TOP-LEVEL part
+  SELECT c.rel, c.agrp, c.aring, arg_max(c.bring, c.bsz) AS host
+  FROM cont c JOIN tl t ON t.rel = c.rel AND t.ring = c.bring
+  GROUP BY c.rel, c.agrp, c.aring),
+istr AS (  -- per host part: sorted interior digest + exact area sum
+  SELECT a.rel, a.host,
+         string_agg({rstr}, ',' ORDER BY -r.a2, r.anchor, r.npts) AS s,
+         cast(sum(r.a2) AS bigint) AS suma2,
+         cast(count(*) AS bigint) AS n_int
+  FROM asg a JOIN rings r ON r.rel = a.rel AND r.grp = a.agrp
+                         AND r.ring = a.aring
+  GROUP BY a.rel, a.host),
+pstr AS (  -- per top-level part: digest string + canonical sort keys
+  SELECT t.rel, -t.a2 AS k1, t.anchor AS k2, t.npts AS k3,
+         t.npts || ':' || t.anchor || ':' || t.a2 || '[' ||
+           coalesce(i.s, '') || ']' AS s,
+         t.a2 - coalesce(i.suma2, 0) AS parta2,
+         coalesce(i.n_int, 0) AS n_int
+  FROM tl t LEFT JOIN istr i ON i.rel = t.rel AND i.host = t.ring),
+bbx AS (SELECT rel, min(minlon) AS bl, min(minlat) AS bb,
+               max(maxlon) AS br, max(maxlat) AS bt
+        FROM tl GROUP BY rel),
+qtr AS (  -- calculate_bbox over top-level exterior bounds
+  SELECT rel, {sql_round_qt('qa', 'cd')} AS q0 FROM (
+    SELECT rel, {sql_point_qt('bl', 'bb')} AS qa,
+           list_max(list_filter(generate_series(0, 18), dd ->
+             floor({_sql_tile_x('bl', 1 << 18)} / power(2, 18 - dd))
+               = floor({_sql_tile_x('br', 1 << 18)} / power(2, 18 - dd))
+             AND floor({_sql_tile_y('bb', 1 << 18)} / power(2, 18 - dd))
+               = floor({_sql_tile_y('bt', 1 << 18)} / power(2, 18 - dd))))
+             AS cd
+    FROM bbx)),
+relarea AS (  -- engine `area` column (float mercator) for the mz floor
+  SELECT t.rel,
+         sum(abs(t.sarea)) - coalesce((
+           SELECT sum(abs(r.sarea)) FROM asg a
+           JOIN rings r ON r.rel = a.rel AND r.grp = a.agrp
+                       AND r.ring = a.aring
+           WHERE a.rel = t.rel), 0.0) AS marea
+  FROM tl t GROUP BY t.rel),
+qfin AS (  -- pipeline minzoom rounding (operators/minzoom.py _apply)
+  SELECT rel, CASE WHEN mz IS NULL THEN q0
+              ELSE {sql_round_qt('q0', 'mz')} END AS quadtree
+  FROM (SELECT q.rel, q.q0, {mzq} AS mz
+        FROM qtr q JOIN relarea ra ON ra.rel = q.rel))
+SELECT p.rel AS id, cast(count(*) AS bigint) AS n_parts,
+       cast(sum(p.n_int) AS bigint) AS n_interiors,
+       cast(sum(p.parta2) AS bigint) AS area2_raw,
+       any_value(q.quadtree) AS quadtree,
+       md5(string_agg(p.s, ';' ORDER BY p.k1, p.k2, p.k3, p.s))
+         AS parts_digest
+FROM pstr p JOIN qfin q ON q.rel = p.rel
+GROUP BY p.rel"""
 
 
 def q_assembly_errors(docs_path: str, style: GeometryStyle) -> str:
@@ -1164,13 +1530,13 @@ def q_feature_tile_counts(docs_path: str, style: GeometryStyle,
 dict AS (SELECT DISTINCT {sql_round_qt('q00', d)} AS tile
          FROM (SELECT {qt18} AS q00 FROM nd)),
 -- ways: bbox cells + per-kind minzoom + rounding
-wkind AS (
+wkind AS MATERIALIZED (
   SELECT wstat.way,
          (wstat.f = wstat.l AND {is_poly}) AS ispoly
   FROM wstat
   WHERE wstat.way IN (SELECT way FROM wok)
     AND {feature_exists(style, 'way', 'wstat.way')}),
-wgeo AS (
+wgeo AS MATERIALIZED (
   SELECT wp.way, min(wp.lon) AS bl, min(wp.lat) AS bb,
          max(wp.lon) AS br, max(wp.lat) AS bt,
          abs(-0.5 * sum(wp.x * wp.y2 - wp.y * wp.x2)) AS marea
@@ -1200,7 +1566,7 @@ wfin AS (SELECT way, ispoly,
          FROM wmz),
 -- relations: merged-ring walk (subset of q_multipolygons_merged,
 -- missing members skipped like the pipeline)
-wm2 AS (
+wm2 AS MATERIALIZED (
   SELECT g.way, wstat.f, wstat.l, g.sarea,
          g.bl, g.bb, g.br, g.bt, g.tx, g.ty
   FROM (SELECT way, -0.5 * sum(x * y2 - y * x2) AS sarea,
@@ -1223,9 +1589,9 @@ memb2 AS (
          rm.ref AS way
   FROM rm WHERE rm.rel IN (SELECT rel FROM relok2)
     AND rm.mem_type = 'way' AND rm.ref IN (SELECT way FROM wm2)),
-open2 AS (SELECT memb2.*, wm2.f, wm2.l, wm2.sarea
+open2 AS MATERIALIZED (SELECT memb2.*, wm2.f, wm2.l, wm2.sarea
           FROM memb2 JOIN wm2 ON wm2.way = memb2.way WHERE wm2.f != wm2.l),
-closed2 AS (SELECT memb2.* FROM memb2 JOIN wm2 ON wm2.way = memb2.way
+closed2 AS MATERIALIZED (SELECT memb2.* FROM memb2 JOIN wm2 ON wm2.way = memb2.way
             WHERE wm2.f = wm2.l),
 walk2(rel, grp, start, cur_node, home, used, acc) AS (
   SELECT rel, grp, way, l, f, [way], sarea FROM open2
@@ -1242,7 +1608,7 @@ walk2(rel, grp, start, cur_node, home, used, acc) AS (
   WHERE w.cur_node != w.home),
 cyc2 AS (SELECT rel, grp, start AS ring, used, acc AS sarea
          FROM walk2 WHERE cur_node = home AND start = list_min(used)),
-rng2 AS (
+rng2 AS MATERIALIZED (
   SELECT c.rel, c.grp, c.way AS ring, [c.way] AS used, wm2.sarea,
          wm2.bl, wm2.bb, wm2.br, wm2.bt, wm2.tx, wm2.ty
   FROM closed2 c JOIN wm2 ON wm2.way = c.way
@@ -1252,14 +1618,14 @@ rng2 AS (
          arg_min(wm2.tx, wm2.way), arg_min(wm2.ty, wm2.way)
   FROM cyc2 cy, unnest(cy.used) AS u(w) JOIN wm2 ON wm2.way = u.w
   GROUP BY cy.rel, cy.grp, cy.ring, cy.used, cy.sarea),
-rw2 AS (SELECT rel, grp, ring, unnest(used) AS w FROM rng2),
-cio2 AS (
+rw2 AS MATERIALIZED (SELECT rel, grp, ring, unnest(used) AS w FROM rng2),
+cio2 AS MATERIALIZED (
   SELECT ri.rel, ri.ring AS iring, ro.ring AS oring, ri.tx, ri.ty
   FROM rng2 ri JOIN rng2 ro ON ro.rel = ri.rel AND ro.grp = 'o'
   WHERE ri.grp = 'i'
     AND ro.bl <= ri.bl AND ro.bb <= ri.bb
     AND ro.br >= ri.br AND ro.bt >= ri.bt),
-cont2 AS (
+cont2 AS MATERIALIZED (
   SELECT DISTINCT rel, iring AS ring FROM (
     SELECT c.rel, c.iring, c.oring,
            sum(len(list_filter(generate_series(2, len(wl.ll)), i ->
@@ -1407,7 +1773,8 @@ FROM best WHERE bi IS NULL"""
 
 
 def q_lsh_ann(k: int = 10, n_queries: int = 5, n_planes: int = 3,
-              n_tables: int = 8, dim: int = 64, seed: int = 42) -> str:
+              n_tables: int = 8, dim: int = 64, seed: int = 42,
+              max_bucket: int = 4096) -> str:
     """Mirror of similarity.lsh_ann_topk with the SAME seeded
     hyperplanes spliced in as literals and the SAME left-to-right
     float summation order (sign of a projection near zero must not
@@ -1442,7 +1809,11 @@ def q_lsh_ann(k: int = 10, n_queries: int = 5, n_planes: int = 3,
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
            ORDER BY vec_id LIMIT {n_queries}),
-eb AS ({' UNION ALL '.join(e_parts)}),
+eb0 AS ({' UNION ALL '.join(e_parts)}),
+ebs AS (SELECT tab, bucket FROM eb0 GROUP BY tab, bucket
+        HAVING count(*) <= {max_bucket}),
+eb AS (SELECT eb0.* FROM eb0 JOIN ebs ON ebs.tab = eb0.tab
+                                     AND ebs.bucket = eb0.bucket),
 qb AS ({' UNION ALL '.join(q_parts)}),
 cand AS (SELECT DISTINCT qb.query_id, eb.vec_id
          FROM qb JOIN eb ON qb.tab = eb.tab AND qb.bucket = eb.bucket
@@ -1775,8 +2146,10 @@ WITH gaps AS (
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (SELECT user_id, ts,
-                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS UNBOUNDED PRECEDING) AS session_id
+                -- cast: DuckDB sum() yields HUGEINT which pandas turns
+                -- into float64 ('1.0' vs Spark's '1' in the value hash)
+                cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
          FROM gaps)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end

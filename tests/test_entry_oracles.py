@@ -61,16 +61,17 @@ def _oracles_for_sf(entry_mod, sf_dir):
         "multipolygons_closed_rings":
             oracles.q_multipolygons_closed_rings(docs, style),
         "multipolygons_merged": oracles.q_multipolygons_merged(docs, style),
+        "multipolygons": oracles.q_multipolygons_full(docs, style, mz),
         "assembly_errors": oracles.q_assembly_errors(docs, style),
         "multimodal_features": oracles.q_multimodal_features(docs, dim=8),
         "waynode_errors": oracles.q_waynode_errors(docs),
         "pip_join": oracles.q_pip_join(docs, style),
         "knn_join": oracles.q_knn_join(docs, style, k=3),
         "raster_vector": oracles.q_raster_vector(docs, style, mz),
-        "geojson_points": oracles.q_geojson_points(docs, style),
+        "geojson_points": oracles.q_geojson_points(docs, style, mz),
         "geojson_tiles": oracles.q_geojson_tiles(docs, style, mz),
-        "geojson_polygons": oracles.q_geojson_polygons(docs, style),
-        "geojson_lines": oracles.q_geojson_lines(docs, style),
+        "geojson_polygons": oracles.q_geojson_polygons(docs, style, mz),
+        "geojson_lines": oracles.q_geojson_lines(docs, style, mz),
         "polygon_validity": oracles.q_polygon_validity(docs, style),
         "make_valid": oracles.q_make_valid_area(docs, style),
         "clip_lines": oracles.q_clip_lines(docs, style),
@@ -101,7 +102,8 @@ ORACLE_QUERIES = [
     "tile_assignment", "feature_tile_counts", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "geojson_polygons", "geojson_lines", "lsh_ann", "polygon_validity",
     "embedding_near_dup", "embedding_lsh_near_dup",
-    "multipolygons_closed_rings", "multipolygons_merged", "waynode_errors",
+    "multipolygons_closed_rings", "multipolygons_merged", "multipolygons",
+    "waynode_errors",
     "assembly_errors",
     "make_valid", "clip_lines", "lowzoom_lines", "multimodal_features",
 ]
