@@ -61,38 +61,75 @@ def make_points(nodes: DataFrame, style: GeometryStyle) -> DataFrame:
                     "quadtree"))
 
 
-def make_ways(ways_ll: DataFrame, style: GeometryStyle,
-              recalc_quadtree: bool = True) -> tuple[DataFrame, DataFrame]:
-    """-> (linestrings, simple_polygons).
+def make_way_features(ways_ll: DataFrame, style: GeometryStyle,
+                      recalc_quadtree: bool = True) -> DataFrame:
+    """FUSED way-geometry construction (round-2 verdict Next #7):
+    ONE pass over ways_ll produces both linestrings and simple
+    polygons, discriminated by ``geom_type`` — instead of two filtered
+    branches that each re-run the whole upstream decode+J1 subtree
+    when an action touches both (runtime plans showed 51 parquet scans
+    / 159 Exchanges with only 24 reused for a single 4-branch count).
+    Length/area/reversed/z_order are computed per-row behind the
+    geom_type CASE; the bbox-quadtree recalc runs once here instead of
+    once per branch.
 
-    linestrings(doc_id, id, refs, tags, lonlats, length, z_order,
-                layer, minzoom, quadtree)
-    simple_polygons(..., area, reversed, z_order=null, ...)
+    way_features(doc_id, id, refs, tags, lonlats, geom_type, length,
+                 area, reversed, z_order, layer, minzoom, quadtree)
     """
     feat = ways_ll.where(F.expr(style.sql_has_feature_key("tags")))
     classified = feat.withColumn(
         "is_poly",
         F.expr(sqlgeom.sql_is_ring("refs")) & F.expr(style.sql_is_polygon("tags")))
-
-    lines = (classified.where(~F.col("is_poly"))
+    fused = (classified
+             .withColumn("signed_area",
+                         F.when(F.col("is_poly"),
+                                F.expr(sqlgeom.sql_ring_area("lonlats"))))
              .select("doc_id", "id", "refs",
                      F.expr(style.sql_filter_tags("tags")).alias("tags"),
                      "lonlats",
-                     F.expr(sqlgeom.sql_line_length("lonlats")).alias("length"),
-                     F.expr(style.sql_z_order("tags")).alias("z_order"),
-                     F.expr(style.sql_layer("tags")).alias("layer"),
-                     F.lit(None).cast("long").alias("minzoom")))
-    polys = (classified.where(F.col("is_poly"))
-             .withColumn("signed_area", F.expr(sqlgeom.sql_ring_area("lonlats")))
-             .select("doc_id", "id", "refs",
-                     F.expr(style.sql_filter_tags("tags")).alias("tags"),
-                     "lonlats",
+                     F.when(F.col("is_poly"), F.lit("simple_polygon"))
+                     .otherwise(F.lit("linestring")).alias("geom_type"),
+                     F.when(~F.col("is_poly"),
+                            F.expr(sqlgeom.sql_line_length("lonlats")))
+                     .alias("length"),
                      F.abs(F.col("signed_area")).alias("area"),
                      (F.col("signed_area") < 0).alias("reversed"),
-                     F.lit(None).cast("long").alias("z_order"),  # no zorder for polys
+                     F.when(~F.col("is_poly"),
+                            F.expr(style.sql_z_order("tags")))
+                     .alias("z_order"),  # no zorder for polys
                      F.expr(style.sql_layer("tags")).alias("layer"),
                      F.lit(None).cast("long").alias("minzoom")))
     if recalc_quadtree:
-        lines = with_bbox_quadtree(lines)
-        polys = with_bbox_quadtree(polys)
+        fused = with_bbox_quadtree(fused)
+    return fused
+
+
+_LINE_COLS = ["doc_id", "id", "refs", "tags", "lonlats", "length",
+              "z_order", "layer", "minzoom"]
+_POLY_COLS = ["doc_id", "id", "refs", "tags", "lonlats", "area",
+              "reversed", "z_order", "layer", "minzoom"]
+
+
+def split_way_features(fused: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """fused way_features -> the per-type (linestrings,
+    simple_polygons) views with their historical schemas."""
+    qt = ["quadtree"] if "quadtree" in fused.columns else []
+    extra = [c for c in ("tile", "end_date") if c in fused.columns]
+    lines = (fused.where(F.col("geom_type") == "linestring")
+             .select(*_LINE_COLS, *qt, *extra))
+    polys = (fused.where(F.col("geom_type") == "simple_polygon")
+             .select(*_POLY_COLS, *qt, *extra))
     return lines, polys
+
+
+def make_ways(ways_ll: DataFrame, style: GeometryStyle,
+              recalc_quadtree: bool = True) -> tuple[DataFrame, DataFrame]:
+    """-> (linestrings, simple_polygons) — the per-type views of
+    :func:`make_way_features`.
+
+    linestrings(doc_id, id, refs, tags, lonlats, length, z_order,
+                layer, minzoom, quadtree)
+    simple_polygons(..., area, reversed, z_order=null, ...)
+    """
+    return split_way_features(
+        make_way_features(ways_ll, style, recalc_quadtree))

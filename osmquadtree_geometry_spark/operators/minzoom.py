@@ -28,6 +28,17 @@ def _apply(df: DataFrame, mz_expr: str, drop_unmatched: bool) -> DataFrame:
     return out
 
 
+def find_minzoom_fused(way_features: DataFrame,
+                       spec: MinZoomSpec) -> DataFrame:
+    """G14 over the FUSED way_features table: one pass, one
+    geom_type CASE — instead of two filtered branches each re-running
+    the upstream subtree (round-2 verdict Next #7 pass fusion)."""
+    mz = (f"CASE WHEN geom_type = 'linestring' "
+          f"THEN {spec.sql_line_minzoom('tags')} "
+          f"ELSE {spec.sql_polygon_minzoom('tags', 'area')} END")
+    return _apply(way_features, mz, spec.max_minzoom is not None)
+
+
 def find_minzoom(points: DataFrame, lines: DataFrame,
                  simple_polygons: DataFrame, complicated_polygons: DataFrame,
                  spec: MinZoomSpec) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:

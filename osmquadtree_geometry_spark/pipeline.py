@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 from .config.minzoom import MinZoomSpec
 from .config.style import GeometryStyle
 from .decode import decode_all, read_docs
-from .operators.makegeoms import make_points, make_ways
-from .operators.minzoom import find_minzoom
+from .operators.makegeoms import (make_points, make_way_features,
+                                  make_ways, split_way_features)
+from .operators.minzoom import find_minzoom, find_minzoom_fused
 from .operators.multipolygons import process_multipolygons
 from .operators.parenttags import add_parent_tags
 from .operators.relationtags import add_relation_tags
@@ -43,6 +44,10 @@ class PipelineResult:
     complicated_polygons: DataFrame
     errors: DataFrame
     decoded: dict = field(default_factory=dict)
+    # FUSED line+polygon table (geom_type discriminator): consumers
+    # touching both types should read this ONE DataFrame so the
+    # upstream decode+J1 subtree is traversed once, not per branch
+    way_features: DataFrame | None = None
 
 
 def run_pipeline(spark: SparkSession, docs_path: str,
@@ -98,11 +103,18 @@ def run_pipeline(spark: SparkSession, docs_path: str,
         err_r = spark.createDataFrame([], EMPTY_ERRORS)
 
     points = make_points(nodes, style)
-    lines, spolys = make_ways(ways_ll, style)
+    # FUSED line+polygon construction: minzoom + tile allocation run
+    # once over one DataFrame; the per-type linestrings /
+    # simple_polygons results are views split at the very end
+    way_feats = make_way_features(ways_ll, style)
 
     if minzoom is not None:
-        points, lines, spolys, cpolys = find_minzoom(
-            points, lines, spolys, cpolys, minzoom)
+        from .operators.minzoom import _apply as _apply_mz
+        drop = minzoom.max_minzoom is not None
+        points = _apply_mz(points, minzoom.sql_point_minzoom("tags"), drop)
+        cpolys = _apply_mz(cpolys, minzoom.sql_polygon_minzoom("tags", "area"),
+                           drop)
+        way_feats = find_minzoom_fused(way_feats, minzoom)
 
     if with_tiles:
         # registered tile set from ALL node locations (the reference's
@@ -110,8 +122,7 @@ def run_pipeline(spark: SparkSession, docs_path: str,
         # data distribution — not just emitted features)
         tiles = tile_dictionary(t["nodes"], tile_group_depth)
         points = allocate_tiles(points, tiles)
-        lines = allocate_tiles(lines, tiles)
-        spolys = allocate_tiles(spolys, tiles)
+        way_feats = allocate_tiles(way_feats, tiles)
         cpolys = allocate_tiles(cpolys, tiles)
 
     if end_date is not None:
@@ -121,23 +132,138 @@ def run_pipeline(spark: SparkSession, docs_path: str,
         def stamp(df: DataFrame) -> DataFrame:
             return df.withColumn("end_date",
                                  F.lit(int(end_date)).cast("long"))
-        points, lines, spolys, cpolys = (
-            stamp(points), stamp(lines), stamp(spolys), stamp(cpolys))
+        points, way_feats, cpolys = (
+            stamp(points), stamp(way_feats), stamp(cpolys))
 
+    lines, spolys = split_way_features(way_feats)
     return PipelineResult(
         points=points, linestrings=lines, simple_polygons=spolys,
         complicated_polygons=cpolys,
-        errors=err_w.unionByName(err_r), decoded=t)
+        errors=err_w.unionByName(err_r), decoded=t,
+        way_features=way_feats)
+
+
+def prepare_bucketed(spark: SparkSession, docs_path: str,
+                     n_buckets: int = 32, prefix: str = "oqg",
+                     base_path: str | None = None,
+                     manifest_path: str | None = None) -> dict[str, str]:
+    """Ingest prepass (round-2 verdict Next #7): decode the interleaved
+    docs ONCE and write bucketed+sorted tables so every later run's
+    enrichment joins start co-located — the Spark-native analogue of
+    the reference's external `calcqts`/`sortblocks` prepass, which
+    turns raw PBF into sorted tiled blocks before the geometry stage
+    ever runs.
+
+      * ``<prefix>_nodes``    bucketed by id  (location/tag lookups)
+      * ``<prefix>_ways``     bucketed by id  (assembled refs + tags)
+      * ``<prefix>_wayrefs``  bucketed by ref (pre-exploded: the J1
+        refs⋈nodes join reads BOTH sides bucket-aligned -> zero
+        Exchange before the per-way collect, see
+        test_bucketed_waynode_join_plan)
+      * ``<prefix>_relations`` bucketed by id
+
+    Returns {logical name: table name}.  When ``manifest_path`` is
+    given, a JSON manifest (table, schema DDL, bucket column/count,
+    data path) is written so OTHER Spark sessions — which don't share
+    the in-memory catalog — can re-register the bucketed tables with
+    :func:`register_bucketed` (the single-box stand-in for a shared
+    Hive metastore)."""
+    from .sinks import write_bucketed
+    t = decode_all(read_docs(spark, docs_path))
+    out = {}
+    manifest = []
+
+    def w(df: DataFrame, name: str, col: str) -> None:
+        table = f"{prefix}_{name}"
+        path = f"{base_path}/{table}" if base_path else None
+        write_bucketed(df, table, col, n_buckets, path)
+        out[name] = table
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in df.schema.fields)
+        loc = path or spark.sql(
+            f"DESCRIBE TABLE EXTENDED {table}").where(
+            "col_name = 'Location'").first().data_type
+        manifest.append({"table": table, "schema": ddl, "bucket_col": col,
+                         "n_buckets": n_buckets, "path": loc})
+
+    w(t["nodes"], "nodes", "id")
+    w(t["ways"], "ways", "id")
+    w(t["ways"].select(F.col("id").alias("way_id"),
+                       F.posexplode("refs").alias("pos", "ref")),
+      "wayrefs", "ref")
+    w(t["relations"], "relations", "id")
+    if manifest_path:
+        import json as _json
+        import os as _os
+        _os.makedirs(_os.path.dirname(manifest_path), exist_ok=True)
+        with open(manifest_path, "w") as f:
+            _json.dump(manifest, f, indent=1)
+    return out
+
+
+def register_bucketed(spark: SparkSession, manifest_path: str) -> None:
+    """Register the prepare_bucketed tables in THIS session's catalog
+    as external bucketed tables (bucket metadata must be declared —
+    plain spark.read.parquet would discard the co-location)."""
+    import json as _json
+    for t in _json.load(open(manifest_path)):
+        spark.sql(f"DROP TABLE IF EXISTS {t['table']}")
+        spark.sql(
+            f"CREATE TABLE {t['table']} ({t['schema']}) USING parquet "
+            f"CLUSTERED BY ({t['bucket_col']}) SORTED BY ({t['bucket_col']}) "
+            f"INTO {t['n_buckets']} BUCKETS LOCATION '{t['path']}'")
+
+
+def collect_way_nodes_bucketed(spark: SparkSession,
+                               prefix: str = "oqg"):
+    """J1 over the bucketed prepass tables: the refs⋈locations join is
+    Exchange-free (both sides bucket-aligned on the node id); the only
+    remaining shuffle is the inherent per-way collect."""
+    ways = spark.table(f"{prefix}_ways")
+    refs = spark.table(f"{prefix}_wayrefs")
+    locs = (spark.table(f"{prefix}_nodes")
+            .select(F.col("id").alias("ref"), "lon", "lat"))
+    j = refs.join(locs, "ref", "left")
+    grouped = (j.groupBy("way_id")
+               .agg(F.expr("transform(array_sort(collect_list(struct(pos, lon, lat))),"
+                           " p -> struct(p.lon as lon, p.lat as lat))").alias("lonlats"),
+                    F.min(F.when(F.col("lon").isNull(),
+                                 F.struct("pos", "ref"))).alias("first_missing"))
+               .withColumnRenamed("way_id", "id"))
+    enriched = grouped.join(ways.select("doc_id", "id", "refs", "tags"), ["id"])
+    ok = enriched.where(F.col("first_missing").isNull()).drop("first_missing")
+    errors = (enriched.where(F.col("first_missing").isNotNull())
+              .select(F.lit("way").alias("elem_type"),
+                      F.col("id").alias("elem_id"),
+                      F.concat(F.lit("missing node "),
+                               F.col("first_missing.ref")).alias("message")))
+    return ok.select("doc_id", "id", "refs", "tags", "lonlats"), errors
 
 
 def feature_counts(res: PipelineResult) -> DataFrame:
-    """CollectWorkingTiles-style counters (`process_geometry.rs:157-216`)."""
+    """CollectWorkingTiles-style counters (`process_geometry.rs:157-216`).
+
+    The line/polygon counts come from ONE traversal of the fused
+    way_features table (conditional sums, rows via stack) — two
+    separate filtered legs would each re-run the whole upstream
+    subtree in the same action."""
     def c(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy().agg(F.count("*").alias("n")).select(
             F.lit(name).alias("geom_type"), "n")
+    if res.way_features is not None:
+        wf = (res.way_features.groupBy().agg(
+            F.sum(F.when(F.col("geom_type") == "linestring", 1)
+                  .otherwise(0)).alias("nl"),
+            F.sum(F.when(F.col("geom_type") == "simple_polygon", 1)
+                  .otherwise(0)).alias("np"))
+            .selectExpr("stack(2, 'linestrings', coalesce(nl, 0L), "
+                        "'simple_polygons', coalesce(np, 0L)) "
+                        "as (geom_type, n)"))
+    else:
+        wf = (c(res.linestrings, "linestrings")
+              .unionByName(c(res.simple_polygons, "simple_polygons")))
     return (c(res.points, "points")
-            .unionByName(c(res.linestrings, "linestrings"))
-            .unionByName(c(res.simple_polygons, "simple_polygons"))
+            .unionByName(wf)
             .unionByName(c(res.complicated_polygons, "complicated_polygons")))
 
 

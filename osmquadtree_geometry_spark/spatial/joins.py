@@ -222,7 +222,8 @@ def _knn_topk(cand: DataFrame, k: int) -> DataFrame:
 
 
 def knn_join(query_points: DataFrame, target_points: DataFrame, k: int = 5,
-             cell_depth: int = 8, max_rings: int = 4) -> DataFrame:
+             cell_depth: int = 8, max_rings: int = 4,
+             stats: dict | None = None) -> DataFrame:
     """EXACT k nearest targets per query point, two-phase:
 
     Phase 1 (the 100 TB path): queries explode to their cell's
@@ -299,6 +300,12 @@ def knn_join(query_points: DataFrame, target_points: DataFrame, k: int = 5,
     # is persisted because it feeds both the escalated explode and (as
     # rest2's lineage) the final anti-join
     res1b, rest2 = ring_pass(rest1.persist(), 4 * max_rings)
+
+    if stats is not None:
+        # opt-in introspection (two extra bounded actions): how big the
+        # escalation input and the final brute-force broadcast side are
+        stats["unsettled_after_phase1"] = rest1.count()
+        stats["brute_force_residue"] = rest2.count()
 
     cand2 = (t0.crossJoin(F.broadcast(rest2))
              .where(F.col("query_id") != F.col("target_id")))
