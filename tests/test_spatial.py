@@ -152,13 +152,26 @@ def test_knn_sparse_residue_escalation(spark):
             for i in range(200)]
     pts = spark.createDataFrame(pd.DataFrame(rows))
     stats = {}
+    # low threshold forces the escalation path (default 4096 would
+    # classify 200 unsettled queries as a small-broadcast residue)
     got = joins.knn_join(pts, pts, k=3, cell_depth=8, max_rings=1,
-                         stats=stats)
+                         stats=stats, escalate_threshold=64)
     n = got.count()
     assert n == 200 * 3
     assert stats["unsettled_after_phase1"] > 100  # sparse: base window fails
+    assert stats["escalated"]
     # the 4x escalation must settle the bulk; broadcast side bounded
     assert stats["brute_force_residue"] <= stats["unsettled_after_phase1"] / 2
+    # and the guard itself: a dense fixture must NOT pay the
+    # escalation stages (residue goes straight to the small broadcast)
+    dense = spark.createDataFrame(pd.DataFrame(
+        [{"id": i, "lon": (i % 30) * 1000, "lat": (i // 30) * 1000}
+         for i in range(300)]))
+    s2 = {}
+    joins.knn_join(dense, dense, k=3, cell_depth=8, max_rings=1,
+                   stats=s2).count()
+    assert not s2["escalated"]
+    assert s2["brute_force_residue"] <= 4096
 
 
 def test_embedding_lsh_bucket_cap(spark):
