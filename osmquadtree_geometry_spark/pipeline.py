@@ -50,16 +50,25 @@ class PipelineResult:
     way_features: DataFrame | None = None
 
 
-def run_pipeline(spark: SparkSession, docs_path: str,
+def run_pipeline(spark: SparkSession, docs_path: str | None = None,
                  style: GeometryStyle | None = None,
                  minzoom: MinZoomSpec | None = None,
                  with_tiles: bool = True,
                  tile_group_depth: int = 8,
                  persist: bool = True,
-                 end_date: int | None = None) -> PipelineResult:
+                 end_date: int | None = None,
+                 bucketed_prefix: str | None = None) -> PipelineResult:
     style = style or GeometryStyle()
-    docs = read_docs(spark, docs_path)
-    t = decode_all(docs)
+    if bucketed_prefix is not None:
+        # consume the prepare_bucketed ingest prepass: the decode
+        # shuffles were paid once at ingest, and the J1 refs⋈locations
+        # join reads both sides bucket-aligned (zero Exchange below
+        # the join) — the 100 TB layout, where raw-docs parsing never
+        # runs inside the query job
+        return _run_pipeline_bucketed(
+            spark, bucketed_prefix, style, minzoom, with_tiles,
+            tile_group_depth, end_date)
+    t = decode_all(read_docs(spark, docs_path))
     if persist:
         # one parse of the span stream feeds 8+ downstream groupBys
         t["spans"] = t["spans"].persist()
@@ -81,7 +90,36 @@ def run_pipeline(spark: SparkSession, docs_path: str,
     ways_ll, err_w = collect_way_nodes(ways, nodes)
     if persist:
         ways_ll = ways_ll.persist()
+    return _finish_pipeline(spark, t, nodes, relations, ways_ll, err_w,
+                            style, minzoom, with_tiles, tile_group_depth,
+                            persist, end_date)
 
+
+def _run_pipeline_bucketed(spark: SparkSession, prefix: str,
+                           style: GeometryStyle,
+                           minzoom: MinZoomSpec | None,
+                           with_tiles: bool, tile_group_depth: int,
+                           end_date: int | None) -> PipelineResult:
+    """Pipeline body over the prepare_bucketed ingest tables — same
+    operator chain, the decode stage replaced by bucketed scans."""
+    t = {
+        "nodes": spark.table(f"{prefix}_nodes"),
+        "ways": spark.table(f"{prefix}_ways"),
+        "relations": spark.table(f"{prefix}_relations"),
+        "media": spark.table(f"{prefix}_media"),
+    }
+    ways_ll, err_w = collect_way_nodes_bucketed(spark, prefix)
+    return _finish_pipeline(spark, t, t["nodes"], t["relations"], ways_ll,
+                            err_w, style, minzoom, with_tiles,
+                            tile_group_depth, False, end_date)
+
+
+def _finish_pipeline(spark: SparkSession, t: dict, nodes: DataFrame,
+                     relations: DataFrame, ways_ll: DataFrame,
+                     err_w: DataFrame, style: GeometryStyle,
+                     minzoom: MinZoomSpec | None, with_tiles: bool,
+                     tile_group_depth: int, persist: bool,
+                     end_date: int | None) -> PipelineResult:
     if style.parent_tags:
         nodes = add_parent_tags(nodes, ways_ll, style)
     if style.relation_tag_spec:
@@ -192,6 +230,7 @@ def prepare_bucketed(spark: SparkSession, docs_path: str,
                        F.posexplode("refs").alias("pos", "ref")),
       "wayrefs", "ref")
     w(t["relations"], "relations", "id")
+    w(t["media"], "media", "doc_id")
     if manifest_path:
         import json as _json
         import os as _os

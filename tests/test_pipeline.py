@@ -176,3 +176,30 @@ def test_feature_counts(result):
     assert counts["linestrings"] > 0
     assert counts["simple_polygons"] > 0
     assert counts["complicated_polygons"] > 0
+
+
+def test_pipeline_from_bucketed_matches_plain(spark, docs_path, tmp_path):
+    """The FULL pipeline can consume the prepare_bucketed ingest
+    layout (round 3): identical feature outputs to the raw-docs path,
+    with the decode stage replaced by bucketed scans."""
+    from osmquadtree_geometry_spark.config.minzoom import MinZoomSpec
+    from osmquadtree_geometry_spark.pipeline import (
+        prepare_bucketed, run_pipeline)
+    mz = MinZoomSpec.default()
+    try:
+        prepare_bucketed(spark, docs_path, n_buckets=4, prefix="tpb",
+                         base_path=str(tmp_path))
+        a = run_pipeline(spark, docs_path, minzoom=mz)
+        b = run_pipeline(spark, minzoom=mz, bucketed_prefix="tpb")
+        for attr in ("points", "linestrings", "simple_polygons",
+                     "complicated_polygons"):
+            da = getattr(a, attr).select("id", "quadtree")
+            db = getattr(b, attr).select("id", "quadtree")
+            ra = sorted((r.id, r.quadtree) for r in da.collect())
+            rb = sorted((r.id, r.quadtree) for r in db.collect())
+            assert ra == rb and len(ra) > 0, attr
+        assert a.errors.count() == b.errors.count()
+    finally:
+        for t_ in ("tpb_nodes", "tpb_ways", "tpb_wayrefs",
+                   "tpb_relations", "tpb_media"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
