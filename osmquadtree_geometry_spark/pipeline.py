@@ -157,8 +157,15 @@ def _finish_pipeline(spark: SparkSession, t: dict, nodes: DataFrame,
     if with_tiles:
         # registered tile set from ALL node locations (the reference's
         # tile set comes from the input block structure, i.e. the full
-        # data distribution — not just emitted features)
-        tiles = tile_dictionary(t["nodes"], tile_group_depth)
+        # data distribution — not just emitted features).  This is a
+        # bounded driver collect (<= 4^depth values) executed at build
+        # time; it reads the MINIMAL location projection when spans
+        # are available (skips the tag shuffle a full decode_nodes
+        # pays), else the prepared nodes table.
+        from .decode import decode_node_locations
+        dict_src = (decode_node_locations(t["spans"])
+                    if "spans" in t else t["nodes"])
+        tiles = tile_dictionary(dict_src, tile_group_depth)
         points = allocate_tiles(points, tiles)
         way_feats = allocate_tiles(way_feats, tiles)
         cpolys = allocate_tiles(cpolys, tiles)
