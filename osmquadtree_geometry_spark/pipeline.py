@@ -188,6 +188,42 @@ def _finish_pipeline(spark: SparkSession, t: dict, nodes: DataFrame,
         way_features=way_feats)
 
 
+def filter_features_bbox(res: PipelineResult,
+                         bbox: tuple[int, int, int, int]) -> PipelineResult:
+    """Reference `-f/--filter` semantics (bbox in 1e-7-degree ints):
+    keep features whose geometry bbox overlaps the filter box — the
+    reference filters input blocks by bbox (`process_geometry.rs`
+    filter arg); feature-level overlap is the exact output analogue.
+    Pure JVM predicates (array_min/max over the coordinate structs)."""
+    a, b, c, d = (int(v) for v in bbox)
+
+    def pt(df):
+        return df.where((F.col("lon") >= a) & (F.col("lon") <= c)
+                        & (F.col("lat") >= b) & (F.col("lat") <= d))
+
+    def ll(df):
+        return df.where(F.expr(
+            f"array_min(transform(lonlats, p -> p.lon)) <= {c} AND "
+            f"array_max(transform(lonlats, p -> p.lon)) >= {a} AND "
+            f"array_min(transform(lonlats, p -> p.lat)) <= {d} AND "
+            f"array_max(transform(lonlats, p -> p.lat)) >= {b}"))
+
+    def parts(df):
+        return df.where(F.expr(
+            f"array_min(transform(parts, pt -> array_min(transform(pt.exterior, p -> p.lon)))) <= {c} AND "
+            f"array_max(transform(parts, pt -> array_max(transform(pt.exterior, p -> p.lon)))) >= {a} AND "
+            f"array_min(transform(parts, pt -> array_min(transform(pt.exterior, p -> p.lat)))) <= {d} AND "
+            f"array_max(transform(parts, pt -> array_max(transform(pt.exterior, p -> p.lat)))) >= {b}"))
+
+    return PipelineResult(
+        points=pt(res.points), linestrings=ll(res.linestrings),
+        simple_polygons=ll(res.simple_polygons),
+        complicated_polygons=parts(res.complicated_polygons),
+        errors=res.errors, decoded=res.decoded,
+        way_features=(ll(res.way_features)
+                      if res.way_features is not None else None))
+
+
 def prepare_bucketed(spark: SparkSession, docs_path: str,
                      n_buckets: int = 32, prefix: str = "oqg",
                      base_path: str | None = None,
@@ -318,7 +354,8 @@ def run_pipeline_checkpointed(spark: SparkSession, docs_path: str,
                               style: GeometryStyle | None = None,
                               minzoom: MinZoomSpec | None = None,
                               tile_group_depth: int = 8,
-                              force: bool = False) -> tuple[PipelineResult, dict]:
+                              force: bool = False,
+                              end_date: int | None = None) -> tuple[PipelineResult, dict]:
     """North-rule resumable pipeline: every stage materializes through
     the LineageStore with per-partition row metrics; a re-run (same
     input fingerprint) skips completed stages and resumes mid-tiling.
@@ -381,6 +418,16 @@ def run_pipeline_checkpointed(spark: SparkSession, docs_path: str,
     lines = stage("tiles_lines", lambda: allocate_tiles(lines, tiles))
     spolys = stage("tiles_simple_polygons", lambda: allocate_tiles(spolys, tiles))
     cpolys = stage("tiles_complicated_polygons", lambda: allocate_tiles(cpolys, tiles))
+
+    if end_date is not None:
+        # stamped on the RETURNED frames (`geometry_block.rs:39`); the
+        # per-stage checkpoints themselves stay date-free so a resume
+        # with a different -t needn't recompute
+        def _stamp(df):
+            return df.withColumn("end_date",
+                                 F.lit(int(end_date)).cast("long"))
+        points, lines, spolys, cpolys = (
+            _stamp(points), _stamp(lines), _stamp(spolys), _stamp(cpolys))
 
     res = PipelineResult(points=points, linestrings=lines,
                          simple_polygons=spolys, complicated_polygons=cpolys,
