@@ -203,3 +203,31 @@ def test_pipeline_from_bucketed_matches_plain(spark, docs_path, tmp_path):
         for t_ in ("tpb_nodes", "tpb_ways", "tpb_wayrefs",
                    "tpb_relations", "tpb_media"):
             spark.sql(f"DROP TABLE IF EXISTS {t_}")
+
+
+def test_filter_features_bbox(spark, docs_path):
+    """Reference -f/--filter parity: feature-bbox overlap filter keeps
+    exactly the features whose geometry bbox overlaps the box."""
+    from osmquadtree_geometry_spark.pipeline import (
+        filter_features_bbox, run_pipeline)
+    res = run_pipeline(spark, docs_path)
+    # a box covering everything keeps everything
+    world = filter_features_bbox(
+        res, (-1800000000, -900000000, 1800000000, 900000000))
+    assert world.points.count() == res.points.count()
+    assert world.linestrings.count() == res.linestrings.count()
+    # an empty box (mid-pacific sliver) keeps nothing
+    nowhere = filter_features_bbox(
+        res, (-1799999999, -899999999, -1799999998, -899999998))
+    assert nowhere.points.count() == 0
+    assert nowhere.simple_polygons.count() == 0
+    assert nowhere.complicated_polygons.count() == 0
+    # a half-plane split partitions the point set
+    left = filter_features_bbox(
+        res, (-1800000000, -900000000, 0, 900000000))
+    right = filter_features_bbox(
+        res, (0, -900000000, 1800000000, 900000000))
+    n = res.points.count()
+    nl, nr = left.points.count(), right.points.count()
+    assert nl + nr >= n  # boundary points may land in both
+    assert 0 < nl < n and 0 < nr < n
