@@ -69,7 +69,16 @@ def run_pipeline(spark: SparkSession, docs_path: str | None = None,
             spark, bucketed_prefix, style, minzoom, with_tiles,
             tile_group_depth, end_date)
     t = decode_all(read_docs(spark, docs_path))
-    if persist:
+    # persist policy: True = everything (the round-1 default), False =
+    # nothing (fastest on a DRAM-bound single box — see
+    # BENCH/BASELINE.md levers), or a comma-set of {"decode",
+    # "ways_ll"} for selective caching (ways_ll alone has FOUR
+    # consumers — way features, multipolygon members, parent tags,
+    # waynode errors — and is far smaller than the span stream)
+    pset = ({"decode", "ways_ll"} if persist is True
+            else set() if persist is False
+            else {p.strip() for p in str(persist).split(",") if p.strip()})
+    if "decode" in pset:
         # one parse of the span stream feeds 8+ downstream groupBys
         t["spans"] = t["spans"].persist()
         # the fused tag table (ONE shuffle for node/way/rel tags) is
@@ -78,7 +87,7 @@ def run_pipeline(spark: SparkSession, docs_path: str | None = None,
         # built in decode_all hit it)
         t["tags_all"] = t["tags_all"].persist()
     nodes, ways, relations = t["nodes"], t["ways"], t["relations"]
-    if persist:
+    if "decode" in pset:
         # the decoded tables feed several downstream branches (points +
         # way join + relation joins + tile dictionary); persisting here
         # prevents each output from re-running the decode shuffles
@@ -88,11 +97,11 @@ def run_pipeline(spark: SparkSession, docs_path: str | None = None,
         t["nodes"], t["ways"], t["relations"] = nodes, ways, relations
 
     ways_ll, err_w = collect_way_nodes(ways, nodes)
-    if persist:
+    if "ways_ll" in pset:
         ways_ll = ways_ll.persist()
     return _finish_pipeline(spark, t, nodes, relations, ways_ll, err_w,
                             style, minzoom, with_tiles, tile_group_depth,
-                            persist, end_date)
+                            "ways_ll" in pset, end_date)
 
 
 def _run_pipeline_bucketed(spark: SparkSession, prefix: str,
