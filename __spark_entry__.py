@@ -455,7 +455,7 @@ def q_embedding_lsh_near_dup(spark, sf_dir):
     from osmquadtree_geometry_spark.dedup import embedding_lsh_near_dup
     emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
     return embedding_lsh_near_dup(emb, threshold=0.35, n_planes=4,
-                                  n_tables=4, dim=64)
+                                  n_tables=4, dim=64, max_bucket=1024)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -742,7 +742,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_dups,
                    min(doc_id) AS keeper
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+            FROM documents GROUP BY md5(text), length(text)
+            HAVING count(*) > 1""",
         "token_stats": """
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
@@ -760,7 +761,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oracles.q_embedding_near_dup(
             threshold=0.35, dim=64),
         "embedding_lsh_near_dup": oracles.q_embedding_lsh_near_dup(
-            threshold=0.35, n_planes=4, n_tables=4, dim=64),
+            threshold=0.35, n_planes=4, n_tables=4, dim=64,
+            max_bucket=1024),
         "quality_score": oracles.q_quality_score(
             __import__("osmquadtree_geometry_spark.textops",
                        fromlist=["STOPWORDS"]).STOPWORDS["en"]),

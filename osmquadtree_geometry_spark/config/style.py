@@ -12,6 +12,20 @@ matches the reference exactly — declared provenance, same as the
 minzoom rule table (see COVERAGE.md).  The reference is public; exact
 value parity is required by SURVEY §7.
 
+License/attribution (round-3 ADVICE): the vendored reference copy at
+/root/reference carries no LICENSE file and no ``license`` field in
+its Cargo.toml; upstream is the public GitHub project
+jharris2268/osmquadtree-geometry.  The transcription is confined to
+the embedded default CONFIGURATION DATA (OpenStreetMap tag
+classification lists — factual key/value names and integer
+priorities in the osm2pgsql default-style tradition), not program
+code; it is reproduced here solely for output parity with the
+reference and attributed to that project.  If the upstream project
+publishes license terms that conflict with redistribution of this
+table, replace it with a user-supplied style JSON (``from_json``
+below loads one) — every consumer of this module reads the style
+through the dataclass, so the default is swappable.
+
 The style compiles to Spark SQL boolean/value expressions so the hot
 path stays JVM-side (`has_feature_key` -> ``exists(map_keys(...))``,
 ``filter_tags`` -> ``map_filter``, z-order -> a literal lookup map).

@@ -27,11 +27,17 @@ TOKEN_RE = r"\\s+"
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Hash-groupBy exact dedup: one row per duplicated text."""
-    return (docs.groupBy(F.md5(text_col).alias("text_hash"))
+    """Hash-groupBy exact dedup: one row per duplicated text.
+
+    Grouping key is (md5, length) — the digest keeps the shuffle key
+    16 bytes, the length guards against adversarial md5 collisions
+    merging two distinct documents (round-3 ADVICE)."""
+    return (docs.groupBy(F.md5(text_col).alias("text_hash"),
+                         F.length(text_col).alias("__tl"))
             .agg(F.count("*").alias("n_dups"),
                  F.min("doc_id").alias("keeper"))
-            .where(F.col("n_dups") > 1))
+            .where(F.col("n_dups") > 1)
+            .drop("__tl"))
 
 
 def _shingles(text_col: str, n: int) -> str:
@@ -73,11 +79,17 @@ def _distinct_text_keepers(docs: DataFrame, text_col: str) -> DataFrame:
     What's-wrong #6): at 100 TB the shuffle sorts/compares keys, and a
     16-byte digest beats multi-KB documents; the text rides along as
     an aggregated value (identical within a group, so first() is
-    deterministic)."""
-    out = (docs.groupBy(F.md5(F.col(text_col)).alias("__th"))
+    deterministic).  length(text) is a secondary grouping key (round-3
+    ADVICE): corpus text is untrusted, and an adversarial md5
+    collision must not silently merge two distinct documents — equal
+    digest + equal length still isn't proof, but collisions with
+    matching length are no longer constructible off-the-shelf, and
+    the extra 8-byte key costs nothing (same rows, same shuffle)."""
+    out = (docs.groupBy(F.md5(F.col(text_col)).alias("__th"),
+                        F.length(F.col(text_col)).alias("__tl"))
            .agg(F.min("doc_id").alias("doc_id"),
                 F.first(text_col).alias(text_col))
-           .drop("__th"))
+           .drop("__th", "__tl"))
     par = docs.sparkSession.sparkContext.defaultParallelism
     return out.repartition(par, "doc_id")
 

@@ -769,8 +769,13 @@ def _bbox_dd(a: str, b: str, c: str, d: str) -> str:
 
 
 def _layer_dd(elem: str, id_expr: str) -> str:
-    """style.sql_layer mirror: int-parsed 'layer' tag, NULL otherwise."""
-    return (f"(SELECT try_cast(tg.v AS BIGINT) FROM tg "
+    """style.sql_layer mirror: int-parsed 'layer' tag, NULL otherwise.
+
+    Aggregated (max) like the sibling _zorder_dd/_mz_lookup_sql
+    helpers — a duplicated (elem, id, 'layer') row in the non-distinct
+    tg CTE must not raise DuckDB's multi-row scalar-subquery error
+    (round-3 ADVICE)."""
+    return (f"(SELECT max(try_cast(tg.v AS BIGINT)) FROM tg "
             f"WHERE tg.elem = '{elem}' AND tg.id = {id_expr} "
             f"AND tg.k = 'layer')")
 
@@ -2058,11 +2063,15 @@ WHERE {cos} >= {threshold}"""
 
 def q_embedding_lsh_near_dup(threshold: float = 0.35, n_planes: int = 4,
                              n_tables: int = 4, dim: int = 64,
-                             seed: int = 42) -> str:
+                             seed: int = 42, max_bucket: int = 1024) -> str:
     """Mirror of dedup.embedding_lsh_near_dup: the SAME seeded
     hyperplanes spliced in as literals (left-to-right projection sum,
     sign near zero must not flip), candidates = distinct bucket-
-    sharing pairs over all tables, exact cosine verification."""
+    sharing pairs over all tables, exact cosine verification.
+
+    ``max_bucket`` mirrors the engine's (tab, bucket) size cap
+    (dedup.py embedding_lsh_near_dup): buckets with fewer than 2 or
+    more than ``max_bucket`` members contribute no candidate pairs."""
     from .similarity import _hyperplanes
 
     def chain(terms) -> str:
@@ -2092,8 +2101,12 @@ def q_embedding_lsh_near_dup(threshold: float = 0.35, n_planes: int = 4,
     cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
     return f"""
 WITH tabs AS ({union}),
+keep AS (SELECT tab, bucket FROM tabs GROUP BY tab, bucket
+         HAVING count(*) BETWEEN 2 AND {max_bucket}),
+kept AS (SELECT t.* FROM tabs t JOIN keep k
+           ON t.tab = k.tab AND t.bucket = k.bucket),
 cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         FROM tabs x JOIN tabs y
+         FROM kept x JOIN kept y
            ON x.tab = y.tab AND x.bucket = y.bucket
          WHERE x.vec_id < y.vec_id)
 SELECT c.a, c.b, {cos} AS cosine

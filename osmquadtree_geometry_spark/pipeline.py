@@ -75,9 +75,23 @@ def run_pipeline(spark: SparkSession, docs_path: str | None = None,
     # "ways_ll"} for selective caching (ways_ll alone has FOUR
     # consumers — way features, multipolygon members, parent tags,
     # waynode errors — and is far smaller than the span stream)
-    pset = ({"decode", "ways_ll"} if persist is True
-            else set() if persist is False
-            else {p.strip() for p in str(persist).split(",") if p.strip()})
+    if persist is True:
+        pset = {"decode", "ways_ll"}
+    elif persist is False:
+        pset = set()
+    elif isinstance(persist, str):
+        pset = {p.strip() for p in persist.split(",") if p.strip()}
+        unknown = pset - {"decode", "ways_ll"}
+        if unknown:
+            raise ValueError(
+                f"unknown persist tokens {sorted(unknown)}; "
+                f"expected a comma-set of {{'decode', 'ways_ll'}}")
+    else:
+        # a non-bool/non-str (e.g. persist=1) silently disabling all
+        # caching is a footgun (round-3 ADVICE) — reject it
+        raise TypeError(
+            f"persist must be bool or comma-set str, got "
+            f"{type(persist).__name__}")
     if "decode" in pset:
         # one parse of the span stream feeds 8+ downstream groupBys
         t["spans"] = t["spans"].persist()
