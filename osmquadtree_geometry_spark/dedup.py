@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import cache
+
 # NB: this string is spliced into SQL text — Spark SQL unescapes
 # string literals, so the regex needs a double backslash to survive
 # ('\s+' would parse as 's+' and split on the letter s)
@@ -109,7 +111,7 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     rows_per_band = n_hashes // bands
     uniq = _distinct_text_keepers(docs, text_col)
     # persist: feeds both the bucket-size agg and the a/b self-join
-    sig = minhash_signatures(uniq, n_hashes, shingle, text_col).persist()
+    sig = cache.persist(minhash_signatures(uniq, n_hashes, shingle, text_col))
     banded = sig.select(
         "doc_id",
         F.posexplode(F.expr(
@@ -178,7 +180,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     # persist: the a/b self-join below would otherwise recompute the
     # whole per-shingle fold twice (alias-renamed exchanges don't
     # canonicalize equal, so ReuseExchange never kicks in)
-    s = simhash(uniq, bits, shingle, text_col).persist()
+    s = cache.persist(simhash(uniq, bits, shingle, text_col))
     chunks = s.select(
         "doc_id", "simhash",
         F.posexplode(F.expr(
@@ -204,10 +206,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     (full cross-products don't scale; block by ``source`` — swap in
     LSH buckets from minhash_lsh_pairs for the unblocked path)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = (docs.repartition(par, "doc_id")  # parallelize the shingling
-          .select("doc_id", F.col(block_col).alias("blk"),
-                  F.expr(f"array_distinct({_shingles(text_col, shingle)})")
-                  .alias("sh"))).persist()  # reused by both join sides
+    sh = cache.persist(
+        docs.repartition(par, "doc_id")  # parallelize the shingling
+        .select("doc_id", F.col(block_col).alias("blk"),
+                F.expr(f"array_distinct({_shingles(text_col, shingle)})")
+                .alias("sh")))  # reused by both join sides
     a = sh.select(F.col("doc_id").alias("a"), "blk", F.col("sh").alias("sha"))
     b = sh.select(F.col("doc_id").alias("b"), "blk", F.col("sh").alias("shb"))
     j = (a.join(b, "blk").where(F.col("a") < F.col("b"))
@@ -232,10 +235,10 @@ def jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                               text_col, max_bucket)
             .select("a", "b"))
     uniq = _distinct_text_keepers(docs, text_col)
-    sh = uniq.select(
+    sh = cache.persist(uniq.select(
         "doc_id",
         F.expr(f"array_distinct({_shingles(text_col, shingle)})").alias("sh")
-    ).persist()  # joined twice (a side and b side)
+    ))  # joined twice (a side and b side)
     return (cand
             .join(sh.select(F.col("doc_id").alias("a"),
                             F.col("sh").alias("sha")), "a")
@@ -297,7 +300,7 @@ def embedding_lsh_near_dup(emb: DataFrame, threshold: float = 0.95,
     e = parts[0]
     for p in parts[1:]:
         e = e.unionByName(p)
-    e = e.persist()  # feeds the size agg and both self-join sides
+    e = cache.persist(e)  # feeds the size agg and both self-join sides
     # bucket-size cap shares the (tab, bucket) partitioning with the
     # self-join — one shuffle, reused
     sizes = (e.groupBy("tab", "bucket")

