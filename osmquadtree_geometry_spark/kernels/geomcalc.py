@@ -151,6 +151,71 @@ def bbox_contains_point(a, lon: int, lat: int) -> bool:
     return a[0] <= lon <= a[2] and a[1] <= lat <= a[3]
 
 
+def _segments_hit_box(x0, y0, x1, y1, a, b, c, d) -> np.ndarray:
+    """Liang-Barsky: does each segment (x0,y0)-(x1,y1) intersect the
+    box (a,b,c,d)?  Vectorized over segments (float64)."""
+    x0 = np.asarray(x0, np.float64)
+    y0 = np.asarray(y0, np.float64)
+    x1 = np.asarray(x1, np.float64)
+    y1 = np.asarray(y1, np.float64)
+    dx, dy = x1 - x0, y1 - y0
+    t0 = np.zeros(len(x0))
+    t1 = np.ones(len(x0))
+    ok = np.ones(len(x0), bool)
+    for p, q in ((-dx, x0 - a), (dx, c - x0), (-dy, y0 - b), (dy, d - y0)):
+        para = p == 0
+        ok &= ~(para & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(para, 0.0, q / np.where(para, 1.0, p))
+        ent = p < 0
+        t0 = np.where(~para & ent, np.maximum(t0, r), t0)
+        t1 = np.where(~para & ~ent, np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
+
+
+def poly_overlaps_boxes(ring_lon: np.ndarray, ring_lat: np.ndarray,
+                        minlon: np.ndarray, minlat: np.ndarray,
+                        maxlon: np.ndarray, maxlat: np.ndarray) -> np.ndarray:
+    """Vectorized ``Poly::check_box`` (the reference's polygon filter
+    predicate, `pack_geometry.rs:498-519` GeometryFilter::Poly): does
+    the closed ring overlap each axis-aligned box?  True iff a box
+    corner lies inside the ring, OR a ring vertex lies inside the box,
+    OR a ring edge crosses the box (the thin-sliver case both
+    containment tests miss).
+
+    Cheap passes run fully vectorized over all boxes; the per-box edge
+    scan only runs for boxes that overlap the ring's bbox yet failed
+    both containment tests — a rare residue."""
+    minlon = np.asarray(minlon, np.int64)
+    minlat = np.asarray(minlat, np.int64)
+    maxlon = np.asarray(maxlon, np.int64)
+    maxlat = np.asarray(maxlat, np.int64)
+    n = len(minlon)
+    out = np.zeros(n, bool)
+    for cx, cy in ((minlon, minlat), (minlon, maxlat),
+                   (maxlon, minlat), (maxlon, maxlat)):
+        out |= points_in_ring(ring_lon, ring_lat, cx, cy)
+    # any ring vertex inside the box (broadcast: nverts is small)
+    out |= ((ring_lon[None, :] >= minlon[:, None])
+            & (ring_lon[None, :] <= maxlon[:, None])
+            & (ring_lat[None, :] >= minlat[:, None])
+            & (ring_lat[None, :] <= maxlat[:, None])).any(axis=1)
+    # residue: boxes inside the ring's bbox that an edge might slice
+    rb = (int(ring_lon.min()), int(ring_lat.min()),
+          int(ring_lon.max()), int(ring_lat.max()))
+    cand = (~out & (minlon <= rb[2]) & (maxlon >= rb[0])
+            & (minlat <= rb[3]) & (maxlat >= rb[1]))
+    if cand.any():
+        sx0, sy0 = ring_lon[:-1], ring_lat[:-1]
+        sx1, sy1 = ring_lon[1:], ring_lat[1:]
+        for i in np.flatnonzero(cand):
+            out[i] = _segments_hit_box(
+                sx0, sy0, sx1, sy1,
+                float(minlon[i]), float(minlat[i]),
+                float(maxlon[i]), float(maxlat[i])).any()
+    return out
+
+
 def polygon_contains(big_lon, big_lat, small_lon, small_lat) -> bool:
     """`position.rs:418-427`: first point inside + no edge crossings."""
     if not point_in_poly(big_lon, big_lat, small_lon[0], small_lat[0]):

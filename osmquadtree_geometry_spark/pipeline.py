@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -248,6 +251,85 @@ def filter_features_bbox(res: PipelineResult,
         errors=res.errors, decoded=res.decoded,
         way_features=(ll(res.way_features)
                       if res.way_features is not None else None))
+
+
+def filter_features_poly(res: PipelineResult, rings) -> PipelineResult:
+    """Reference ``GeometryFilter::Poly`` semantics
+    (`pack_geometry.rs:498-519`, ``Poly::check_box``): keep features
+    whose geometry BBOX overlaps the polygon (any ring).  Two layers,
+    like the reference's tile-prune + per-feature check:
+
+      1. coarse: the rings' common bbox as pure JVM predicates
+         (:func:`filter_features_bbox` — prunable/pushdownable);
+      2. exact: a vectorized pandas UDF running
+         ``geomcalc.poly_overlaps_boxes`` on the staged feature bbox.
+
+    ``rings``: list of (lon int-1e-7 array, lat array) closed rings,
+    e.g. from :func:`osmquadtree_geometry_spark.sources.
+    parse_poly_file`."""
+    from pyspark.sql import types as T
+
+    from .kernels import geomcalc
+
+    rr = [(np.asarray(lon, np.int64), np.asarray(lat, np.int64))
+          for lon, lat in rings]
+    pb = (int(min(r[0].min() for r in rr)),
+          int(min(r[1].min() for r in rr)),
+          int(max(r[0].max() for r in rr)),
+          int(max(r[1].max() for r in rr)))
+    coarse = filter_features_bbox(res, pb)
+
+    @F.pandas_udf(T.BooleanType())
+    def overlaps(minlon: pd.Series, minlat: pd.Series,
+                 maxlon: pd.Series, maxlat: pd.Series) -> pd.Series:
+        a = minlon.to_numpy(np.int64)
+        b = minlat.to_numpy(np.int64)
+        c = maxlon.to_numpy(np.int64)
+        d = maxlat.to_numpy(np.int64)
+        keep = np.zeros(len(a), bool)
+        for rlon, rlat in rr:
+            todo = ~keep
+            if not todo.any():
+                break
+            keep[todo] |= geomcalc.poly_overlaps_boxes(
+                rlon, rlat, a[todo], b[todo], c[todo], d[todo])
+        return pd.Series(keep)
+
+    def pt(df):
+        return df.where(overlaps("lon", "lat", "lon", "lat"))
+
+    def ll(df):
+        g = {k: f"array_{m}(transform(lonlats, p -> p.{c}))"
+             for k, (m, c) in {"_mnlo": ("min", "lon"),
+                               "_mnla": ("min", "lat"),
+                               "_mxlo": ("max", "lon"),
+                               "_mxla": ("max", "lat")}.items()}
+        staged = df
+        for k, e in g.items():
+            staged = staged.withColumn(k, F.expr(e))
+        return (staged.where(overlaps("_mnlo", "_mnla", "_mxlo", "_mxla"))
+                .drop(*g.keys()))
+
+    def parts(df):
+        g = {k: (f"array_{m}(transform(parts, pt -> array_{m}("
+                 f"transform(pt.exterior, p -> p.{c}))))")
+             for k, (m, c) in {"_mnlo": ("min", "lon"),
+                               "_mnla": ("min", "lat"),
+                               "_mxlo": ("max", "lon"),
+                               "_mxla": ("max", "lat")}.items()}
+        staged = df
+        for k, e in g.items():
+            staged = staged.withColumn(k, F.expr(e))
+        return (staged.where(overlaps("_mnlo", "_mnla", "_mxlo", "_mxla"))
+                .drop(*g.keys()))
+
+    return PipelineResult(
+        points=pt(coarse.points), linestrings=ll(coarse.linestrings),
+        simple_polygons=ll(coarse.simple_polygons),
+        complicated_polygons=parts(coarse.complicated_polygons),
+        errors=coarse.errors, decoded=coarse.decoded,
+        way_features=(ll(coarse.way_features)
+                      if coarse.way_features is not None else None))
 
 
 def prepare_bucketed(spark: SparkSession, docs_path: str,

@@ -49,6 +49,47 @@ def _bbox_tiles(bbox: tuple[int, int, int, int], max_depth: int) -> list[int]:
     return sorted(out)
 
 
+def parse_poly_file(path: str) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Parse an osmosis-format ``.poly`` file into closed int-1e-7
+    rings — the reference accepts the same files for its Poly filter
+    (`pack_geometry.rs:498-519` via osmquadtree's ``read_filter``).
+
+    Format: first line file name; each section = a name line, then
+    "lon lat" float-degree pairs, terminated by ``END``; the file ends
+    with a final ``END``.  Hole sections (name prefixed ``!``) are
+    rejected explicitly rather than silently mis-filtered."""
+    rings: list[tuple[np.ndarray, np.ndarray]] = []
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    i = 1  # skip the file-name header line
+    while i < len(lines):
+        name = lines[i]
+        if name == "END" or name == "":
+            i += 1
+            continue
+        if name.startswith("!"):
+            raise ValueError(
+                f"{path}: hole section {name!r} not supported")
+        i += 1
+        lon, lat = [], []
+        while i < len(lines) and lines[i] != "END":
+            if lines[i]:
+                a, b = lines[i].split()[:2]
+                lon.append(int(round(float(a) * 1e7)))
+                lat.append(int(round(float(b) * 1e7)))
+            i += 1
+        i += 1  # consume section END
+        if len(lon) >= 3:
+            if (lon[0], lat[0]) != (lon[-1], lat[-1]):
+                lon.append(lon[0])
+                lat.append(lat[0])
+            rings.append((np.asarray(lon, np.int64),
+                          np.asarray(lat, np.int64)))
+    if not rings:
+        raise ValueError(f"{path}: no polygon sections found")
+    return rings
+
+
 def read_feature_tables(spark: SparkSession, out_dir: str):
     """Open a :func:`osmquadtree_geometry_spark.sinks.
     write_feature_tables` layout as a ``PipelineResult`` of parquet

@@ -49,8 +49,9 @@ def main() -> None:
                          "counts only (process_geometry_{json,"
                          "tiled_json,postgresql*,null} parity)")
     ap.add_argument("--filter", default=None,
-                    help="bbox 'minlon,minlat,maxlon,maxlat' in degrees "
-                         "(reference -f)")
+                    help="bbox 'minlon,minlat,maxlon,maxlat' in degrees, "
+                         "OR a path to an osmosis .poly file "
+                         "(reference -f: bbox string / poly file)")
     ap.add_argument("--style", default=None,
                     help="style JSON file (reference -s; default: "
                          "embedded default style)")
@@ -102,7 +103,13 @@ def main() -> None:
             end_date=args.timestamp)
 
     if args.filter:
-        res = filter_features_bbox(res, _parse_filter(args.filter))
+        if args.filter.endswith(".poly") or os.path.exists(args.filter):
+            from osmquadtree_geometry_spark.pipeline import (
+                filter_features_poly)
+            from osmquadtree_geometry_spark.sources import parse_poly_file
+            res = filter_features_poly(res, parse_poly_file(args.filter))
+        else:
+            res = filter_features_bbox(res, _parse_filter(args.filter))
 
     tables = {"point": res.points, "line": res.linestrings,
               "polygon": res.simple_polygons,

@@ -359,3 +359,16 @@ def test_read_geometry_filters(res, spark, tmp_path):
         if r.tile >= 0:
             assert int(qtk.depth(np.asarray([r.tile]))[0]) <= 6
         assert r.minzoom is None or r.minzoom <= 6
+
+
+def test_geojson_flat_no_collect_byte_identical(res, tmp_path):
+    """Round-3 verdict Next #7: the streamed part-file writer must be
+    byte-identical to the old in-memory construction."""
+    out = tmp_path / "lines.geojson"
+    sinks.write_geojson_flat(res.linestrings, "linestring", str(out))
+    feats = [r.feature for r in
+             sinks.geojson_features(res.linestrings, "linestring")
+             .orderBy("id").collect()]
+    exp = ('{"type": "FeatureCollection", "features": [\n'
+           + ",\n".join(feats) + "\n]}\n")
+    assert out.read_text() == exp
