@@ -421,6 +421,32 @@ def generate_docs_parquet(out_path: str, n_docs: int) -> str:
     return out_path
 
 
+def generate_mega_relation_docs(out_path: str, n_ways: int = 10_000,
+                                pts_per_way: int = 4) -> str:
+    """Coastline-scale skew fixture (round-3 verdict Next #6): ONE
+    multipolygon relation whose exterior is a huge circle split into
+    ``n_ways`` consecutive member ways (reference skew case:
+    continent coastlines / national admin boundaries with 10^4-10^5
+    members).  Deterministic; separate from the round-robin scene
+    fixtures so their row counts/digests never change."""
+    s = Scene(0)
+    npts = n_ways * pts_per_way
+    radius = 5_000_000  # 0.5 deg in 1e-7 fixed-point: int64-exact shoelace
+    coords = [(int(radius * math.cos(2 * math.pi * i / npts)),
+               int(radius * math.sin(2 * math.pi * i / npts)))
+              for i in range(npts)]
+    _, wids = s.ring(1, npts + 10, coords, n_ways=n_ways)
+    s.rel(npts + n_ways + 20, [("way", w, "outer") for w in wids],
+          {"type": "multipolygon", "natural": "water"})
+    spans = [{"kind": k, "text": t, "media_ref": m, "offset": off}
+             for off, (k, t, m) in enumerate(s.spans())]
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pydict(
+        {"doc_id": ["doc-mega-000"], "spans": [spans]},
+        schema=DOCS_SCHEMA), out_path)
+    return out_path
+
+
 def fixture_docs_path(sf_dir: str, root: str = "/root/repo/.data") -> str:
     """Deterministic fixture location for a given testdata sf dir."""
     name = os.path.basename(os.path.normpath(sf_dir))

@@ -13,12 +13,21 @@ real and tested either way.
 from __future__ import annotations
 
 import hashlib
+import io
+import math
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # feature-detect a real imaging backend (absent in this container)
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised when PIL is absent
+    _PILImage = None
+
+HAVE_PIL = _PILImage is not None
 
 MEDIA_SCHEMA = ("doc_id string, media_ref string, kind string, "
                 "payload binary, width int, height int")
@@ -53,13 +62,29 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def _real_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Real decode path (active only when PIL is importable): decode
+    the payload, grayscale, mean-pool to a k*k thumbnail with
+    k = ceil(sqrt(dim)), and emit the first ``dim`` pixels scaled to
+    [0, 1).  Deterministic for a given payload — ``Image.resize`` with
+    box filter is pure arithmetic — so tests can pin values."""
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    k = max(1, math.isqrt(dim - 1) + 1) if dim > 1 else 1
+    small = np.asarray(img.resize((k, k), _PILImage.BOX), np.float32)
+    return (small.reshape(-1)[:dim] / 256.0).astype(np.float32)
+
+
 def decode_image(payload: bytes, *, fake: bool = False, dim: int = 8) -> np.ndarray:
-    """STUB: real image decode requires PIL/libvips (absent here)."""
-    if not fake:
+    """Image decode: the real path runs when PIL is present; otherwise
+    it is an honest STUB (raises with instructions).  ``fake=True``
+    always selects the deterministic oracle-checkable stand-in."""
+    if fake:
+        return _fake_decode(payload, dim)
+    if not HAVE_PIL:
         raise NotImplementedError(
             "image decode requires an imaging library not present in "
             "this container; pass fake=True for the deterministic stub")
-    return _fake_decode(payload, dim)
+    return _real_decode(payload, dim)
 
 
 def extract_features(media_bin: DataFrame, dim: int = 8,

@@ -1300,10 +1300,32 @@ wmx AS MATERIALIZED (  -- per (rel, way): exact raw-int directed 2*shoelace part
              - (cast(g.ll[i].lat AS bigint) - o.olat)
                * (cast(g.ll[i+1].lon AS bigint) - o.olon))) AS i2a
   FROM memb m JOIN wmg g ON g.way = m.way JOIN relo o ON o.rel = m.rel),
-open_m AS (SELECT * FROM wmx WHERE f != l),
+open_m AS MATERIALIZED (SELECT * FROM wmx WHERE f != l),
 closed_m AS (SELECT * FROM wmx WHERE f = l),
+-- Degree split (round-4: mega-relation scalability).  In a group
+-- whose every endpoint node touches <= 2 open ways, the walk is
+-- DETERMINISTIC: the only unused candidate at each step is the one
+-- way that is not the way we just arrived on, so excluding the
+-- previous way is exactly equivalent to the visited-list check and
+-- the walk carries O(1) state — a 10^4-way coastline chain costs
+-- O(chain^2) cheap rows instead of O(chain^3) list scans.  Groups
+-- with a degree-3+ junction (branching) keep the visited-list walk.
+hardg AS MATERIALIZED (
+  SELECT DISTINCT rel, grp FROM (
+    SELECT rel, grp, node FROM (
+      SELECT rel, grp, f AS node FROM open_m
+      UNION ALL SELECT rel, grp, l AS node FROM open_m)
+    GROUP BY rel, grp, node HAVING count(*) > 2)),
+open_s AS MATERIALIZED (
+  SELECT o.* FROM open_m o
+  WHERE NOT EXISTS (SELECT 1 FROM hardg h
+                    WHERE h.rel = o.rel AND h.grp = o.grp)),
+open_h AS MATERIALIZED (
+  SELECT o.* FROM open_m o
+  WHERE EXISTS (SELECT 1 FROM hardg h
+                WHERE h.rel = o.rel AND h.grp = o.grp)),
 walk(rel, grp, start, cur_node, home, used, acc, acc2) AS (
-  SELECT rel, grp, way, l, f, [way], partial, i2a FROM open_m
+  SELECT rel, grp, way, l, f, [way], partial, i2a FROM open_h
   UNION ALL
   SELECT w.rel, w.grp, w.start,
          CASE WHEN m.f = w.cur_node THEN m.l ELSE m.f END,
@@ -1311,33 +1333,73 @@ walk(rel, grp, start, cur_node, home, used, acc, acc2) AS (
          w.acc + CASE WHEN m.f = w.cur_node THEN m.partial
                       ELSE -m.partial END,
          w.acc2 + CASE WHEN m.f = w.cur_node THEN m.i2a ELSE -m.i2a END
-  FROM walk w JOIN open_m m
+  FROM walk w JOIN open_h m
     ON m.rel = w.rel AND m.grp = w.grp
    AND m.way > w.start  -- min-start prune (see q_multipolygons_merged)
    AND NOT list_contains(w.used, m.way)
    AND (m.f = w.cur_node OR m.l = w.cur_node)
   WHERE w.cur_node != w.home),
+walks(rel, grp, start, cur_node, home, prev, acc, acc2) AS (
+  -- seed prune (exact for degree<=2 groups): a kept cycle's start is
+  -- the component min, and in a simple cycle both ways adjacent to
+  -- the start belong to the cycle — so a way with a SMALLER-id
+  -- adjacent way can never seed a kept walk.  An in-id-order chain
+  -- (the typical coastline ingest) seeds exactly once.
+  SELECT o.rel, o.grp, o.way, o.l, o.f, o.way, o.partial, o.i2a
+  FROM open_s o
+  WHERE NOT EXISTS (SELECT 1 FROM open_s m
+                    WHERE m.rel = o.rel AND m.grp = o.grp
+                      AND m.way < o.way
+                      AND (m.f IN (o.f, o.l) OR m.l IN (o.f, o.l)))
+  UNION ALL
+  SELECT w.rel, w.grp, w.start,
+         CASE WHEN m.f = w.cur_node THEN m.l ELSE m.f END,
+         w.home, m.way,
+         w.acc + CASE WHEN m.f = w.cur_node THEN m.partial
+                      ELSE -m.partial END,
+         w.acc2 + CASE WHEN m.f = w.cur_node THEN m.i2a ELSE -m.i2a END
+  FROM walks w JOIN open_s m
+    ON m.rel = w.rel AND m.grp = w.grp
+   AND m.way > w.start  -- min-start prune: implies start = min(ways)
+   AND m.way != w.prev  -- degree<=2: equivalent to the visited list
+   AND (m.f = w.cur_node OR m.l = w.cur_node)
+  WHERE w.cur_node != w.home),
 cycles AS (
-  SELECT rel, grp, start AS ring, used, -0.5 * acc AS sarea,
-         abs(acc2) AS a2
-  FROM walk WHERE cur_node = home AND start = list_min(used)),
+  SELECT rel, grp, start AS ring, -0.5 * acc AS sarea, abs(acc2) AS a2
+  FROM walk WHERE cur_node = home AND start = list_min(used)
+  UNION ALL
+  SELECT rel, grp, start, -0.5 * acc, abs(acc2)
+  FROM walks WHERE cur_node = home),
+cycle_ways AS MATERIALIZED (  -- merged-cycle ring membership
+  SELECT rel, grp, start AS ring, unnest(used) AS way
+  FROM walk WHERE cur_node = home AND start = list_min(used)
+  UNION ALL
+  -- every row of a completed simple walk added exactly one way (prev)
+  SELECT w.rel, w.grp, w.start AS ring, w.prev AS way
+  FROM walks w
+  JOIN (SELECT DISTINCT rel, grp, start FROM walks
+        WHERE cur_node = home) c
+    ON c.rel = w.rel AND c.grp = w.grp AND c.start = w.start),
 rings AS MATERIALIZED (  -- (rel, grp, ring): closed single ways + merged cycles
-  SELECT c.rel, c.grp, c.way AS ring, [c.way] AS used,
+  SELECT c.rel, c.grp, c.way AS ring,
          -0.5 * c.partial AS sarea, abs(c.i2a) AS a2,
          cast(c.npts AS bigint) AS npts, c.anchor,
          c.minlon, c.minlat, c.maxlon, c.maxlat,
          c.p1lon AS tx, c.p1lat AS ty
   FROM closed_m c
   UNION ALL
-  SELECT cy.rel, cy.grp, cy.ring, cy.used, cy.sarea, cy.a2,
+  SELECT cy.rel, cy.grp, cy.ring, cy.sarea, cy.a2,
          cast(sum(w.npts - 1) + 1 AS bigint), min(w.anchor),
          min(w.minlon), min(w.minlat), max(w.maxlon), max(w.maxlat),
          arg_min(w.p1lon, w.way), arg_min(w.p1lat, w.way)
   FROM cycles cy
-  JOIN wmx w ON w.rel = cy.rel AND w.grp = cy.grp
-            AND list_contains(cy.used, w.way)
-  GROUP BY cy.rel, cy.grp, cy.ring, cy.used, cy.sarea, cy.a2),
-ring_ways AS (SELECT rel, grp, ring, unnest(used) AS w FROM rings),
+  JOIN cycle_ways cw ON cw.rel = cy.rel AND cw.grp = cy.grp
+                    AND cw.ring = cy.ring
+  JOIN wmx w ON w.rel = cy.rel AND w.grp = cy.grp AND w.way = cw.way
+  GROUP BY cy.rel, cy.grp, cy.ring, cy.sarea, cy.a2),
+ring_ways AS (
+  SELECT rel, grp, way AS ring, way AS w FROM closed_m
+  UNION ALL SELECT rel, grp, ring, way AS w FROM cycle_ways),
 cpairs AS MATERIALIZED (  -- candidate containment: any ring vs strictly larger outer
   SELECT a.rel, a.agrp, a.aring, a.bring, a.bsz, sum({cross}) AS ncross
   FROM (SELECT a.rel, a.grp AS agrp, a.ring AS aring, b.ring AS bring,

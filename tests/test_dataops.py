@@ -209,12 +209,57 @@ def test_multimodal_features(spark, decoded):
     for r in rows:
         assert len(r.features) == 8
         assert r.n_bytes == 16  # md5 payload
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx")
+    from osmquadtree_geometry_spark.multimodal import HAVE_PIL
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx")
     # determinism: same payload -> same features
     again = {(r.doc_id, r.media_ref): r.features for r in out.collect()}
     for r in rows:
         assert again[(r.doc_id, r.media_ref)] == r.features
+
+
+def _tiny_png(pixels):
+    """Handcraft an 8-bit grayscale PNG from a square row-major pixel
+    list using only stdlib (zlib + struct) — lets the real-decode test
+    build its own input without needing PIL to encode."""
+    import struct
+    import zlib
+    k = int(len(pixels) ** 0.5)
+    assert k * k == len(pixels)
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", k, k, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + bytes(pixels[r * k:(r + 1) * k])
+                   for r in range(k))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_multimodal_real_decode_when_pil_present(spark):
+    """Real decode path (gated on an imaging lib being installed):
+    same mapInPandas shape as the fake path, pixel values pinned
+    against the handcrafted source image."""
+    from osmquadtree_geometry_spark import multimodal as mm
+    if not mm.HAVE_PIL:
+        pytest.skip("PIL not installed in this container")
+    pixels = [16 * i for i in range(16)]  # 4x4 gradient
+    png = _tiny_png(pixels)
+    feats = mm.decode_image(png, dim=16)
+    assert len(feats) == 16
+    assert feats.tolist() == pytest.approx([p / 256.0 for p in pixels])
+    # same Arrow-batched plumbing end-to-end with fake=False
+    df = spark.createDataFrame(
+        [("d1", "m1", "image/png", bytearray(png), 4, 4)],
+        "doc_id string, media_ref string, kind string, "
+        "payload binary, width int, height int")
+    row = mm.extract_features(df, dim=16, fake=False).collect()[0]
+    assert row.features == pytest.approx([p / 256.0 for p in pixels])
+    assert row.n_bytes == len(png)
 
 
 # ---------------------------------------------------------------------------
