@@ -147,7 +147,10 @@ def test_lsh_ann_recall(spark, emb):
     exact = brute_force_topk(emb, q, k=5).collect()
     # testdata embeddings are near-random (top cosine ~0.3) — weak
     # neighbours need shallow buckets + many tables for recall
-    approx = lsh_ann_topk(emb, q, k=5, n_planes=3, n_tables=8).collect()
+    approx = lsh_ann_topk(emb, q, k=5, n_planes=3, n_tables=8,
+                          dim=64).collect()
+    with pytest.raises(ValueError):  # dim is part of the contract
+        lsh_ann_topk(emb, q, k=5)
     exact_set = {(r.query_id, r.vec_id) for r in exact}
     approx_set = {(r.query_id, r.vec_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
