@@ -42,12 +42,17 @@ def main() -> None:
     # reference CLI surface (bin/osmquadtree-geometry.rs subcommands)
     ap.add_argument("--output", default="parquet",
                     choices=["parquet", "geojson", "tiled-geojson",
-                             "pgcopy", "null"],
+                             "pgcopy", "postgres", "null"],
                     help="output form: parquet tables (default), flat "
                          "GeoJSON FeatureCollections, per-tile GeoJSON "
-                         "blocks, PostgreSQL binary COPY files, or "
+                         "blocks, PostgreSQL binary COPY files, live "
+                         "PostgreSQL delivery (--pg-dsn), or "
                          "counts only (process_geometry_{json,"
                          "tiled_json,postgresql*,null} parity)")
+    ap.add_argument("--pg-dsn", default=None,
+                    help="PostgreSQL connection string for "
+                         "--output postgres (URL or libpq keywords; "
+                         "reference -c connstr)")
     ap.add_argument("--filter", default=None,
                     help="bbox 'minlon,minlat,maxlon,maxlat' in degrees, "
                          "OR a path to an osmosis .poly file "
@@ -146,6 +151,13 @@ def main() -> None:
                     else "polygon")
             packed = pack_tag_columns(df, tag_cols[kind])
             write_pgcopy(packed, os.path.join(args.out, f"{name}.copy.d"))
+    elif args.output == "postgres":
+        from osmquadtree_geometry_spark.sinks import write_postgresql
+        if not args.pg_dsn:
+            raise SystemExit("--output postgres requires --pg-dsn")
+        delivered = write_postgresql(res, args.pg_dsn, style=style)
+        print(json.dumps({"pg_tables": delivered["tables"],
+                          "pg_after_errors": len(delivered["after_errors"])}))
     # parquet: the checkpointed pipeline already wrote the tables;
     # null: counts only
 
