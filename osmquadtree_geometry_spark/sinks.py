@@ -497,6 +497,15 @@ def write_postgresql(res, dsn: str, style=None, extended: bool = True,
         for t in sorted(packed))
     after.append(f"CREATE VIEW {schema}.planet_osm_all AS {union}")
     with PgConnection(dsn) as conn:
+        # the catch-all tag column is hstore-typed; create the
+        # extension when the role may (tolerated failure — a managed
+        # DB with it preinstalled denies CREATE EXTENSION)
+        try:
+            conn.execute("CREATE EXTENSION IF NOT EXISTS hstore")
+        except PgError as e:
+            after_ext_error = str(e)
+        else:
+            after_ext_error = None
         conn.execute("begin")
         for s in before:
             conn.execute(s)
@@ -514,6 +523,9 @@ def write_postgresql(res, dsn: str, style=None, extended: bool = True,
                     conn.execute(s)
                 except PgError as e:
                     after_errors.append((s, str(e)))
+    if after_ext_error is not None:
+        after_errors.append(("CREATE EXTENSION IF NOT EXISTS hstore",
+                             after_ext_error))
     return {"tables": sorted(packed), "before": before, "after": after,
             "after_errors": after_errors, "rows": rows}
 

@@ -142,10 +142,11 @@ def test_write_postgresql_sequencing(spark, tmp_path):
         q = srv.queries
         first_copy = next(i for i, s in enumerate(q)
                           if s.upper().startswith("COPY"))
-        assert q[0] == "begin"
+        assert q[0] == "CREATE EXTENSION IF NOT EXISTS hstore"
+        assert q[1] == "begin"
         assert q[first_copy - 1] == "commit"
         assert all(s.startswith(("DROP TABLE", "CREATE TABLE"))
-                   for s in q[1:first_copy - 1])
+                   for s in q[2:first_copy - 1])
         # every routed table was created and copied
         for t in out["tables"]:
             assert f"public.{t}" in srv.copies
