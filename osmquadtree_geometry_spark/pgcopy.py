@@ -155,15 +155,17 @@ def write_pgcopy(df: DataFrame, out_dir: str,
 
 def deliver_pgcopy(df: DataFrame, dsn: str, table: str,
                    columns: list[tuple[str, str]] | None = None,
-                   schema: str = "public") -> None:
+                   schema: str = "public") -> int:
     """LIVE COPY delivery (round-3 verdict Missing #1): stream each
     partition's binary COPY payload to PostgreSQL over the wire, one
     connection PER PARTITION opened executor-side (the reference's
     per-thread connections, `writepostgresql.rs:506-540`) — no data
-    moves through the driver at any size."""
+    moves through the driver at any size.  Returns the total rows the
+    server acknowledged (sum of the ``COPY n`` tags, via accumulator)."""
     cols = columns or copy_columns_for(df)
     enc = encode_copy_rows(df, cols)
     sql = copy_sql(table, cols, schema)
+    acked = df.sparkSession.sparkContext.accumulator(0)
 
     def send_part(rows) -> None:
         from .pgwire import PgConnection
@@ -175,9 +177,30 @@ def deliver_pgcopy(df: DataFrame, dsn: str, table: str,
             yield TRAILER
 
         with PgConnection(dsn) as conn:
-            conn.copy_in(sql, payload())
+            acked.add(conn.copy_in(sql, payload()))
 
     enc.foreachPartition(send_part)
+    return acked.value
+
+
+def stream_to_postgres(sdf: DataFrame, dsn: str, table: str,
+                       columns: list[tuple[str, str]] | None = None,
+                       schema: str = "public",
+                       checkpoint: str | None = None):
+    """Structured-Streaming COPY sink: each micro-batch is delivered
+    through :func:`deliver_pgcopy` (per-partition executor-side wire
+    connections).  At-least-once: a batch retried after a failure is
+    COPYed again — point it at an idempotent staging table or dedup on
+    replay keys downstream.  Returns the started StreamingQuery."""
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        deliver_pgcopy(batch_df, dsn, table, columns=columns,
+                       schema=schema)
+
+    w = sdf.writeStream.foreachBatch(batch_fn)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def copy_sql(table: str, columns: list[tuple[str, str]],

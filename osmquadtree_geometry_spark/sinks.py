@@ -512,9 +512,8 @@ def write_postgresql(res, dsn: str, style=None, extended: bool = True,
         conn.execute("commit")
     rows = {}
     for name, df in packed.items():
-        deliver_pgcopy(df, dsn, name, columns=copy_cols[name],
-                       schema=schema)
-        rows[name] = None  # counted server-side per partition
+        rows[name] = deliver_pgcopy(df, dsn, name,
+                                    columns=copy_cols[name], schema=schema)
     after_errors = []
     if exec_after:
         with PgConnection(dsn) as conn:

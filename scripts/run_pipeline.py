@@ -157,6 +157,7 @@ def main() -> None:
             raise SystemExit("--output postgres requires --pg-dsn")
         delivered = write_postgresql(res, args.pg_dsn, style=style)
         print(json.dumps({"pg_tables": delivered["tables"],
+                          "pg_rows": delivered["rows"],
                           "pg_after_errors": len(delivered["after_errors"])}))
     # parquet: the checkpointed pipeline already wrote the tables;
     # null: counts only

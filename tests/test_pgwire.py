@@ -115,6 +115,38 @@ def test_deliver_pgcopy_distributed(spark):
         assert got == want
 
 
+def test_deliver_pgcopy_acked_row_count(spark):
+    from osmquadtree_geometry_spark import pgcopy
+    df = spark.range(0, 57).selectExpr("id AS osm_id").repartition(3)
+    with MockPg(auth="trust") as srv:
+        assert pgcopy.deliver_pgcopy(df, srv.dsn(), "t") == 57
+
+
+def test_stream_to_postgres_microbatches(spark, tmp_path):
+    """foreachBatch COPY sink: a file-source stream delivers every
+    row over the wire; server-side payloads decode back exactly."""
+    from osmquadtree_geometry_spark import pgcopy
+    src = tmp_path / "src"
+    spark.range(0, 40).selectExpr(
+        "id AS osm_id", "concat('d', id) AS name").coalesce(2) \
+        .write.parquet(str(src))
+    sdf = spark.readStream.schema("osm_id long, name string") \
+        .parquet(str(src))
+    with MockPg(auth="md5") as srv:
+        q = pgcopy.stream_to_postgres(
+            sdf, srv.dsn(), "stream_tbl",
+            checkpoint=str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = pgcopy.parse_copy_payloads(
+            srv.copies["public.stream_tbl"],
+            [("osm_id", "int8"), ("name", "text")])
+        assert sorted(r[0] for r in rows) == list(range(40))
+        assert all(r[1] == f"d{r[0]}" for r in rows)
+
+
 def test_write_postgresql_sequencing(spark, tmp_path):
     """Full orchestration on a tiny synthetic pipeline result:
     begin -> drop/create -> commit, then COPY per table, then
@@ -147,9 +179,14 @@ def test_write_postgresql_sequencing(spark, tmp_path):
         assert q[first_copy - 1] == "commit"
         assert all(s.startswith(("DROP TABLE", "CREATE TABLE"))
                    for s in q[2:first_copy - 1])
-        # every routed table was created and copied
+        # every routed table was created and copied; server-acked row
+        # counts surface per table
         for t in out["tables"]:
             assert f"public.{t}" in srv.copies
+        assert out["rows"]["planet_osm_point"] == 1
+        assert out["rows"]["planet_osm_highway"] == 1
+        assert out["rows"]["planet_osm_line"] == 1
+        assert out["rows"]["planet_osm_building"] == 1
         # after-DDL: gin indexes failed (mock) but delivery continued
         assert out["after_errors"]
         assert all("USING gin" in s for s, _ in out["after_errors"])
