@@ -1,10 +1,16 @@
-"""Round-4 scaling protocol at 4x the round-3 input (verdict Next
-#8): the bucketed two-level protocol at ~7M docs, appended to
+"""Scaling protocol at larger inputs (verdict Next #8 and beyond):
+the bucketed two-level protocol at N docs, appended to
 BENCH/BASELINE.md as a dated section (the bench --scaling path
-rewrites the whole file; this preserves the round-3 440k/1.76M
-evidence alongside).
+rewrites the whole file; appending preserves the earlier 440k/1.76M/
+7.04M evidence alongside).
 
-Usage: nohup python scripts/run_scaling_7m.py > /tmp/scaling7m.log 2>&1 &
+Usage:
+  nohup python scripts/run_scaling_big.py [n_docs] > /tmp/scaling.log 2>&1 &
+
+Round-3 ran 1.76M docs (efficiency 0.551), round-4 7.04M (0.749,
+work inflation 1.149): the job becomes compute-dominated as input
+grows and the DRAM-bandwidth share shrinks.  Default here is 14.08M
+(8x round-3) to extend that curve.
 """
 import json
 import os
@@ -14,7 +20,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ.setdefault("SPARK_GRAFT_SCALING_DOCS", "7040000")
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 14080000
+os.environ["SPARK_GRAFT_SCALING_DOCS"] = str(N_DOCS)
 os.environ.setdefault("SPARK_GRAFT_SCALING_VARIANTS", "bucketed")
 os.environ.setdefault("SPARK_GRAFT_SCALING_REPS", "3")
 
@@ -28,7 +35,7 @@ def main():
     print(json.dumps(summary))
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     vs = summary.get("bucketed", {})
-    lines = ["\n## Round-4 re-run: 7.04M docs (4x round-3 input), "
+    lines = [f"\n## Larger-input re-run: {N_DOCS} docs, "
              "bucketed variant\n\n",
              "Same job, same protocol (3 fresh-JVM reps per level, "
              "per-level min, taskset-confined small level, JIT-warm "
