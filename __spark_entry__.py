@@ -532,6 +532,17 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(emb, q, k=10, n_planes=3, n_tables=8, dim=64)
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF inverted-list ANN (the non-LSH scale path): deterministic
+    seed quantizer, broadcast probes, exact cosine re-rank inside the
+    n_probe probed lists."""
+    from osmquadtree_geometry_spark.similarity import ivf_topk
+    emb = spark.read.parquet(_sf(sf_dir, "embeddings"))
+    q = (emb.orderBy("vec_id").limit(5)
+         .selectExpr("vec_id as query_id", "embedding as qe"))
+    return ivf_topk(emb, q, k=10, n_lists=16, n_probe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     from osmquadtree_geometry_spark.multimodal import (
         extract_features, synth_media_table)
@@ -703,6 +714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "embedding_topk": q_embedding_topk,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "multimodal_features": q_multimodal_features,
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
@@ -762,6 +774,8 @@ def oracle_sql() -> dict[str, str]:
         "geojson_lines": oracles.q_geojson_lines(docs, STYLE, MINZOOM),
         "lsh_ann": oracles.q_lsh_ann(k=10, n_queries=5, n_planes=3,
                                      n_tables=8, dim=64),
+        "ivf_ann": oracles.q_ivf_ann(k=10, n_queries=5, n_lists=16,
+                                     n_probe=4, dim=64),
         "polygon_validity": oracles.q_polygon_validity(docs, STYLE),
         "make_valid": oracles.q_make_valid_area(docs, STYLE),
         "clip_lines": oracles.q_clip_lines(docs, STYLE),

@@ -1894,6 +1894,56 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}"""
 
 
+def q_ivf_ann(k: int = 10, n_queries: int = 5, n_lists: int = 16,
+              n_probe: int = 4, dim: int = 64) -> str:
+    """Mirror of similarity.ivf_topk with the SAME deterministic seed
+    quantizer (n_lists smallest-vec_id embeddings as centroids) and
+    the SAME left-to-right float chains: L2 argmin assignment ties
+    broken by list_id, probe = n_probe nearest lists, exact cosine
+    re-rank inside probed lists."""
+
+    def chain(terms) -> str:
+        return " + ".join(terms)
+
+    def l2(vec: str, cen: str) -> str:
+        return chain(
+            f"(({vec}[{j + 1}]::DOUBLE - {cen}[{j + 1}]::DOUBLE) * "
+            f"({vec}[{j + 1}]::DOUBLE - {cen}[{j + 1}]::DOUBLE))"
+            for j in range(dim))
+
+    dot = chain(f"(p.qe[{j + 1}]::DOUBLE * a.embedding[{j + 1}]::DOUBLE)"
+                for j in range(dim))
+    nq = chain(f"(p.qe[{j + 1}]::DOUBLE * p.qe[{j + 1}]::DOUBLE)"
+               for j in range(dim))
+    ne = chain(f"(a.embedding[{j + 1}]::DOUBLE * a.embedding[{j + 1}]::DOUBLE)"
+               for j in range(dim))
+    cos = f"round(({dot}) / (sqrt({nq}) * sqrt({ne})), 6)"
+    return f"""
+WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
+                     embedding AS centroid
+              FROM (SELECT * FROM embeddings ORDER BY vec_id
+                    LIMIT {n_lists})),
+assign AS (SELECT vec_id, list_id, embedding FROM (
+             SELECT e.vec_id, c.list_id, e.embedding,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {l2('e.embedding', 'c.centroid')}, c.list_id
+                    ) AS pr
+             FROM embeddings e CROSS JOIN cent c) WHERE pr = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      ORDER BY vec_id LIMIT {n_queries}),
+probe AS (SELECT query_id, list_id, qe FROM (
+            SELECT q.query_id, c.list_id, q.qe,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {l2('q.qe', 'c.centroid')}, c.list_id) AS pr
+            FROM q CROSS JOIN cent c) WHERE pr <= {n_probe}),
+scored AS (SELECT p.query_id, a.vec_id, {cos} AS cosine
+           FROM assign a JOIN probe p USING (list_id)
+           WHERE a.vec_id <> p.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}"""
+
+
 # ---------------------------------------------------------------------------
 # training-data op oracles (pre-registered views: documents, embeddings,
 # events) — duckdb list-lambda re-derivations of dedup.py / textops.py

@@ -112,3 +112,73 @@ def lsh_ann_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.select("query_id", "vec_id", "cosine")
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k).drop("rn"))
+
+
+def seed_centroids(emb: DataFrame, n_lists: int) -> DataFrame:
+    """Deterministic IVF quantizer: the ``n_lists`` embeddings with
+    the smallest vec_id serve as list centroids (list_id = their
+    vec_id rank).  A real deployment would plug trained k-means
+    centroids into :func:`ivf_topk` via ``centroids=``; this seeded
+    selection exists so results are bit-reproducible run-to-run and
+    mirrorable by the DuckDB oracle (the same reason the LSH
+    hyperplanes are seeded)."""
+    w = W.orderBy("vec_id")
+    return (emb.orderBy("vec_id").limit(n_lists)
+            .select(F.row_number().over(w).alias("list_id"),
+                    F.col("embedding").alias("centroid")))
+
+
+_L2 = ("aggregate(zip_with(%s, %s, (x, c) -> "
+       "(cast(x as double) - cast(c as double)) * "
+       "(cast(x as double) - cast(c as double))), 0.0d, (a, v) -> a + v)")
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_lists: int = 16, n_probe: int = 4,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF approximate top-k (the inverted-file ANN scale path):
+    every vector is assigned to its nearest of ``n_lists`` centroids
+    (the inverted lists); a query probes only its ``n_probe`` nearest
+    lists and re-ranks candidates by exact cosine.
+
+    Scale shape (100 TB): the centroid table is tiny and BROADCAST to
+    the assignment pass (one scan of ``emb``, map-side partial-agg
+    argmin — the per-vector candidate rows never shuffle); the probed
+    (query, list) pairs are broadcast to the candidate join, so the
+    assigned table is scanned once with a broadcast hash join on
+    list_id and only the candidate fraction (~n_probe/n_lists of the
+    corpus) shuffles for the per-query top-k window.  No driver
+    action anywhere in plan construction.  Size ``n_lists`` ~ sqrt(N)
+    (standard IVF practice) so list populations stay balanced.
+
+    ``centroids``: optional (list_id, centroid) DataFrame from a real
+    trainer; defaults to :func:`seed_centroids`."""
+    cent = centroids if centroids is not None else seed_centroids(emb, n_lists)
+
+    def assign(df: DataFrame, id_col: str, vec_col: str,
+               keep_n: int) -> DataFrame:
+        d = (df.crossJoin(F.broadcast(cent))
+             .withColumn("l2", F.expr(_L2 % (vec_col, "centroid"))))
+        if keep_n == 1:
+            # argmin via partial-aggregated min(struct): all n_lists
+            # rows of a vector sit in ONE task (broadcast side), so
+            # the map-side combine collapses them before any shuffle
+            return (d.groupBy(id_col)
+                    .agg(F.min(F.struct("l2", "list_id")).alias("m"),
+                         F.first(vec_col).alias(vec_col))
+                    .select(id_col, F.col("m.list_id").alias("list_id"),
+                            vec_col))
+        w = W.partitionBy(id_col).orderBy("l2", "list_id")
+        return (d.withColumn("pr", F.row_number().over(w))
+                .where(F.col("pr") <= keep_n)
+                .select(id_col, "list_id", vec_col))
+
+    assigned = assign(emb, "vec_id", "embedding", 1)
+    probes = assign(queries, "query_id", "qe", n_probe)
+    cand = (assigned.join(F.broadcast(probes), "list_id")
+            .where(F.col("vec_id") != F.col("query_id")))
+    scored = cand.withColumn("cosine", _cosine_col())
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (scored.select("query_id", "vec_id", "cosine")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))

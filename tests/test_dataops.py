@@ -141,6 +141,38 @@ def test_brute_force_topk(spark, emb):
     assert got0 == exp
 
 
+def test_ivf_ann_recall_and_plan(spark, emb):
+    """IVF inverted-list ANN: recall vs brute force on the fixture,
+    and the 100 TB plan shape — centroid/probe sides broadcast (no
+    CartesianProduct; the corpus-side candidate join is a broadcast
+    hash join on list_id, so the assigned table never shuffles)."""
+    from osmquadtree_geometry_spark.similarity import (
+        brute_force_topk, ivf_topk, seed_centroids)
+    q = _queries(spark, emb, n=5)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx_df = ivf_topk(emb, q, k=5, n_lists=16, n_probe=8)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    approx = approx_df.collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # seed-quantizer IVF probing half the lists: recall is bounded by
+    # list placement of the weak near-random fixture neighbours
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # scores are exact cosines; every (q, v) at most once
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    assert len(approx_set) == len(approx)
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+    # every vector lands in exactly one list; all lists from the seed
+    cents = seed_centroids(emb, 16)
+    assert cents.count() == 16
+    assert [r.list_id for r in cents.orderBy("list_id").collect()] == list(range(1, 17))
+
+
 def test_lsh_ann_recall(spark, emb):
     from osmquadtree_geometry_spark.similarity import brute_force_topk, lsh_ann_topk
     q = _queries(spark, emb, n=5)
