@@ -532,6 +532,14 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(emb, q, k=10, n_planes=3, n_tables=8, dim=64)
 
 
+def q_corpus_prep(spark, sf_dir):
+    """Fused LLM-corpus prep chain: exact-dedup keepers -> quality
+    gate -> language-ID -> per-language integer token statistics."""
+    from osmquadtree_geometry_spark.textops import corpus_prep
+    docs = spark.read.parquet(_sf(sf_dir, "documents"))
+    return corpus_prep(docs, min_quality=0.05)
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF inverted-list ANN (the non-LSH scale path): deterministic
     seed quantizer, broadcast probes, exact cosine re-rank inside the
@@ -715,6 +723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "corpus_prep": q_corpus_prep,
     "multimodal_features": q_multimodal_features,
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
@@ -776,6 +785,10 @@ def oracle_sql() -> dict[str, str]:
                                      n_tables=8, dim=64),
         "ivf_ann": oracles.q_ivf_ann(k=10, n_queries=5, n_lists=16,
                                      n_probe=4, dim=64),
+        "corpus_prep": oracles.q_corpus_prep(
+            __import__("osmquadtree_geometry_spark.textops",
+                       fromlist=["STOPWORDS"]).STOPWORDS,
+            min_quality=0.05),
         "polygon_validity": oracles.q_polygon_validity(docs, STYLE),
         "make_valid": oracles.q_make_valid_area(docs, STYLE),
         "clip_lines": oracles.q_clip_lines(docs, STYLE),

@@ -276,6 +276,11 @@ def run_headline(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "vec_id as query_id", "embedding as qe")
     timed("ann_brute_force", lambda: similarity.brute_force_topk(
         emb, q5, k=10).count())
+    timed("ivf_ann", lambda: similarity.ivf_topk(
+        emb, q5, k=10, n_lists=16, n_probe=4).count())
+    from osmquadtree_geometry_spark import textops
+    timed("corpus_prep", lambda: textops.corpus_prep(
+        docs, min_quality=0.05).count())
 
     # the layout materialization is a once-per-dataset ingest cost
     # (the reference's process_geometry writes its geometry file once;

@@ -2143,6 +2143,49 @@ def q_fingerprint(window: int = 8) -> str:
             f"AS fp FROM documents")
 
 
+def q_corpus_prep(stopwords: dict, min_quality: float = 0.05) -> str:
+    """Mirror of textops.corpus_prep: exact-dedup keepers -> quality
+    gate -> language-ID -> per-language integer token stats (quality
+    summed in micro-units so no cross-row float sum exists)."""
+    toks = "regexp_split_to_array(lower(trim(text)), '\s+')"
+    n = f"len({toks})"
+    punct = (r"length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) / "
+             "greatest(length(text), 1)::double")
+    en = ", ".join(f"'{w}'" for w in stopwords["en"])
+    stop_en = (f"len(list_filter({toks}, t -> t IN ({en}))) / "
+               f"greatest({n}, 1)::double")
+    quality = (f"round(least(1.0, {n} / 100.0) * "
+               f"(1.0 - least(1.0, ({punct}) * 4)) * "
+               f"least(1.0, 0.2 + ({stop_en}) * 4), 6)")
+    ratios = []
+    for lg, words in stopwords.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        ratios.append(f"len(list_filter({toks}, t -> t IN ({lst}))) / "
+                      f"greatest({n}, 1)::double AS r_{lg}")
+    structs = ", ".join(f"{{'score': r_{lg}, 'lang': '{lg}'}}"
+                        for lg in stopwords)
+    bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+    return f"""
+WITH keep AS {_KEEPERS},
+sc AS (SELECT doc_id, text, {', '.join(ratios)}, {quality} AS quality
+       FROM keep),
+feats AS (SELECT doc_id, quality,
+                 list_sort([{structs}], 'DESC')[1] AS b,
+                 len({toks})::bigint AS ws_tokens,
+                 {bpe}::bigint AS bpe_ish_tokens,
+                 length(text)::bigint AS n_chars
+          FROM sc)
+SELECT CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+       count(*)::bigint AS n_docs,
+       sum(ws_tokens)::bigint AS ws_tokens,
+       sum(bpe_ish_tokens)::bigint AS bpe_ish_tokens,
+       sum(n_chars)::bigint AS n_chars,
+       sum(CAST(round(quality * 1000000) AS BIGINT))::bigint
+         AS sum_quality_micro
+FROM feats WHERE quality >= {min_quality}
+GROUP BY 1"""
+
+
 def q_embedding_topk(k: int = 10, n_queries: int = 5) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -47,34 +47,56 @@ def language_id(docs: DataFrame) -> DataFrame:
                     F.round("best.score", 6).alias("lang_score")))
 
 
+_N_TOKS = f"size({_TOKS})"
+_PUNCT = ("length(regexp_replace(text, '[^!-/:-@\\\\[-`{{-~]', '')) / "
+          "cast(greatest(length(text), 1) as double)")
+_MEAN_TOK = f"length(trim(text)) / cast(greatest({_N_TOKS}, 1) as double)"
+_BPE = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
+
+
+def _quality_expr() -> str:
+    """The combined [0,1] quality heuristic (shared by quality_score
+    and corpus_prep so the two can never drift)."""
+    stop_en = _stop_ratio("en")
+    return (f"least(1.0d, {_N_TOKS} / 100.0d) * "
+            f"(1.0d - least(1.0d, {_PUNCT} * 4))"
+            f" * least(1.0d, 0.2d + {stop_en} * 4)")
+
+
+def _lang_pred_col():
+    """argmax stopword-hit ratio as a Column; 'und' when every ratio
+    is 0 (shared by language_id and corpus_prep)."""
+    best = F.expr(
+        "element_at(array_sort({}, (a, b) -> case when a.score > b.score then -1 "
+        "when a.score < b.score then 1 when a.lang < b.lang then -1 else 1 end), 1)"
+        .format("array({})".format(", ".join(
+            f"struct({_stop_ratio(lg)} as score, '{lg}' as lang)"
+            for lg in STOPWORDS))))
+    return (F.when(best["score"] > 0, best["lang"])
+            .otherwise(F.lit("und")).alias("lang_pred"))
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio_en,
     quality): length/punct/stopword heuristics combined into [0,1]."""
-    n_toks = f"size({_TOKS})"
-    punct = ("length(regexp_replace(text, '[^!-/:-@\\\\[-`{{-~]', '')) / "
-             "cast(greatest(length(text), 1) as double)")
-    mean_tok = f"length(trim(text)) / cast(greatest({n_toks}, 1) as double)"
     stop_en = _stop_ratio("en")
     return docs.select(
         "doc_id",
-        F.expr(n_toks).cast("long").alias("n_tokens"),
-        F.round(F.expr(mean_tok), 6).alias("mean_token_len"),
-        F.round(F.expr(punct), 6).alias("punct_ratio"),
+        F.expr(_N_TOKS).cast("long").alias("n_tokens"),
+        F.round(F.expr(_MEAN_TOK), 6).alias("mean_token_len"),
+        F.round(F.expr(_PUNCT), 6).alias("punct_ratio"),
         F.round(F.expr(stop_en), 6).alias("stop_ratio_en"),
-        F.round(
-            F.expr(f"least(1.0d, {n_toks} / 100.0d) * (1.0d - least(1.0d, {punct} * 4))"
-                   f" * least(1.0d, 0.2d + {stop_en} * 4)"), 6).alias("quality"))
+        F.round(F.expr(_quality_expr()), 6).alias("quality"))
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens, n_chars): whitespace count +
     a BPE-ish regex count (letter runs / digit runs / single
     punctuation, the GPT-2 pretokenizer shape)."""
-    bpe = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
     return docs.select(
         "doc_id",
-        F.expr(f"size({_TOKS})").cast("long").alias("ws_tokens"),
-        F.expr(bpe).cast("long").alias("bpe_ish_tokens"),
+        F.expr(_N_TOKS).cast("long").alias("ws_tokens"),
+        F.expr(_BPE).cast("long").alias("bpe_ish_tokens"),
         F.length("text").cast("long").alias("n_chars"))
 
 
@@ -88,3 +110,39 @@ def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
         "doc_id",
         F.md5(F.expr(f"array_join(array_sort(array_distinct({mins})), '|')"))
         .alias("fp"))
+
+
+def corpus_prep(docs: DataFrame, min_quality: float = 0.05) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE fused pass:
+    exact-dedup keepers -> quality gate -> language-ID -> per-language
+    token statistics.
+
+    The composition is deliberately shuffle-minimal: dedup keepers
+    cost one hash-groupBy on (md5(text), length); every downstream
+    metric (quality, language, token counts) is a pure column
+    expression computed in a SINGLE projection over the keepers — no
+    joins between the stages — and the final rollup is one partial-
+    aggregated groupBy on the tiny-cardinality predicted language.
+
+    Output (lang_pred, n_docs, ws_tokens, bpe_ish_tokens, n_chars,
+    sum_quality_micro): all-integer aggregates; quality is summed in
+    exact micro-units (round(q, 6) * 1e6 as bigint) so cross-engine
+    float summation ORDER cannot flip the digest (the per-row rounded
+    quality is order-free; only its integerized sum crosses rows)."""
+    from .dedup import _distinct_text_keepers
+    keep = _distinct_text_keepers(docs, "text")
+    feats = keep.select(
+        "doc_id",
+        _lang_pred_col(),
+        F.round(F.expr(_quality_expr()), 6).alias("quality"),
+        F.expr(_N_TOKS).cast("long").alias("ws_tokens"),
+        F.expr(_BPE).cast("long").alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+    return (feats.where(F.col("quality") >= min_quality)
+            .groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws_tokens").alias("ws_tokens"),
+                 F.sum("bpe_ish_tokens").alias("bpe_ish_tokens"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.sum(F.round(F.col("quality") * 1000000).cast("long"))
+                 .alias("sum_quality_micro")))

@@ -401,3 +401,43 @@ def test_streaming_events_rollup(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     assert ev.count() > 0
     assert all(r.n > 0 for r in rows)
+
+
+def test_corpus_prep_plan_and_consistency(spark):
+    """corpus_prep: one shuffle for the keeper groupBy + one tiny
+    rollup — no joins between the fused metric stages — and its
+    integer aggregates reconcile with the standalone operators."""
+    from osmquadtree_geometry_spark.dedup import _distinct_text_keepers
+    from osmquadtree_geometry_spark.textops import (
+        corpus_prep, language_id, quality_score, token_counts)
+    docs = spark.range(0, 120).selectExpr(
+        "cast(id as string) AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 1 + cast(id % 40 as int)), "
+        "i -> element_at(array('the','fox','and','dog','der','hund'), "
+        "1 + cast((id + i) % 6 as int)))) AS text")
+    out = {r.lang_pred: r for r in corpus_prep(docs, min_quality=0.05).collect()}
+    # no joins in the plan (fused projection), exactly the keeper
+    # exchange + the rollup exchange
+    plan = corpus_prep(docs, min_quality=0.05)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    # reconcile against the standalone operators composed the slow way
+    keep = _distinct_text_keepers(docs, "text")
+    q = {r.doc_id: r.quality for r in quality_score(keep).collect()}
+    lang = {r.doc_id: r.lang_pred for r in language_id(keep).collect()}
+    toks = {r.doc_id: r for r in token_counts(keep).collect()}
+    agg = {}
+    for did, qq in q.items():
+        if qq < 0.05:
+            continue
+        a = agg.setdefault(lang[did], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += toks[did].ws_tokens
+        a[2] += toks[did].bpe_ish_tokens
+        a[3] += toks[did].n_chars
+        a[4] += round(qq * 1000000)
+    assert set(out) == set(agg)
+    for lg, a in agg.items():
+        r = out[lg]
+        assert [r.n_docs, r.ws_tokens, r.bpe_ish_tokens, r.n_chars,
+                r.sum_quality_micro] == a

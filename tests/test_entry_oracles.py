@@ -101,7 +101,7 @@ ORACLE_QUERIES = [
     "quality_score",
     "tile_assignment", "feature_tile_counts", "pip_join", "knn_join", "raster_vector",
     "geojson_points", "geojson_tiles", "geojson_polygons", "geojson_lines", "lsh_ann", "polygon_validity",
-    "ivf_ann",
+    "ivf_ann", "corpus_prep",
     "embedding_near_dup", "embedding_lsh_near_dup",
     "multipolygons_closed_rings", "multipolygons_merged", "multipolygons",
     "waynode_errors",
