@@ -30,7 +30,7 @@ def _persistent_ids(spark) -> set[int]:
 #  lsh_ann        -> similarity persist
 HYGIENE_QUERIES = ["line_length", "pip_join", "knn_join",
                    "minhash_lsh_pairs", "embedding_lsh_near_dup",
-                   "lsh_ann"]
+                   "lsh_ann", "ivf_ann", "corpus_prep"]
 
 
 @pytest.mark.parametrize("name", HYGIENE_QUERIES)
