@@ -168,11 +168,19 @@ def deliver_pgcopy(df: DataFrame, dsn: str, table: str,
     acked = df.sparkSession.sparkContext.accumulator(0)
 
     def send_part(rows) -> None:
+        from itertools import chain
+
         from .pgwire import PgConnection
+
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition: no wasted server connection
 
         def payload():
             yield HEADER
-            for r in rows:
+            for r in chain((first,), it):
                 yield r.copy_row
             yield TRAILER
 

@@ -122,6 +122,17 @@ def test_deliver_pgcopy_acked_row_count(spark):
         assert pgcopy.deliver_pgcopy(df, srv.dsn(), "t") == 57
 
 
+def test_deliver_pgcopy_skips_empty_partitions(spark):
+    """3 rows spread over 8 partitions: empty partitions must not
+    open server connections (no zero-row COPY statements)."""
+    from osmquadtree_geometry_spark import pgcopy
+    df = spark.range(0, 3).selectExpr("id AS osm_id").repartition(8)
+    with MockPg(auth="trust") as srv:
+        assert pgcopy.deliver_pgcopy(df, srv.dsn(), "t") == 3
+        ncopies = sum(1 for q in srv.queries if q.upper().startswith("COPY"))
+        assert 1 <= ncopies <= 3
+
+
 def test_stream_to_postgres_microbatches(spark, tmp_path):
     """foreachBatch COPY sink: a file-source stream delivers every
     row over the wire; server-side payloads decode back exactly."""
@@ -179,14 +190,17 @@ def test_write_postgresql_sequencing(spark, tmp_path):
         assert q[first_copy - 1] == "commit"
         assert all(s.startswith(("DROP TABLE", "CREATE TABLE"))
                    for s in q[2:first_copy - 1])
-        # every routed table was created and copied; server-acked row
-        # counts surface per table
-        for t in out["tables"]:
-            assert f"public.{t}" in srv.copies
-        assert out["rows"]["planet_osm_point"] == 1
-        assert out["rows"]["planet_osm_highway"] == 1
-        assert out["rows"]["planet_osm_line"] == 1
-        assert out["rows"]["planet_osm_building"] == 1
+        # every NON-EMPTY routed table was copied (empty partitions
+        # open no connection, so the empty boundary table sends no
+        # COPY at all); every table was still CREATEd
+        expected_rows = {"planet_osm_point": 1, "planet_osm_line": 1,
+                         "planet_osm_highway": 1, "planet_osm_polygon": 1,
+                         "planet_osm_building": 1, "planet_osm_boundary": 0}
+        assert out["rows"] == expected_rows
+        for t, n in expected_rows.items():
+            assert (f"public.{t}" in srv.copies) == (n > 0)
+            assert any(s.startswith(f"CREATE TABLE public.{t} ")
+                       for s in q)
         # after-DDL: gin indexes failed (mock) but delivery continued
         assert out["after_errors"]
         assert all("USING gin" in s for s, _ in out["after_errors"])
