@@ -1919,8 +1919,7 @@ def q_ivf_ann(k: int = 10, n_queries: int = 5, n_lists: int = 16,
                for j in range(dim))
     cos = f"round(({dot}) / (sqrt({nq}) * sqrt({ne})), 6)"
     return f"""
-WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS list_id,
-                     embedding AS centroid
+WITH cent AS (SELECT vec_id AS list_id, embedding AS centroid
               FROM (SELECT * FROM embeddings ORDER BY vec_id
                     LIMIT {n_lists})),
 assign AS (SELECT vec_id, list_id, embedding FROM (
@@ -2147,7 +2146,7 @@ def q_corpus_prep(stopwords: dict, min_quality: float = 0.05) -> str:
     """Mirror of textops.corpus_prep: exact-dedup keepers -> quality
     gate -> language-ID -> per-language integer token stats (quality
     summed in micro-units so no cross-row float sum exists)."""
-    toks = "regexp_split_to_array(lower(trim(text)), '\s+')"
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
     n = f"len({toks})"
     punct = (r"length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) / "
              "greatest(length(text), 1)::double")

@@ -116,15 +116,18 @@ def lsh_ann_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def seed_centroids(emb: DataFrame, n_lists: int) -> DataFrame:
     """Deterministic IVF quantizer: the ``n_lists`` embeddings with
-    the smallest vec_id serve as list centroids (list_id = their
-    vec_id rank).  A real deployment would plug trained k-means
-    centroids into :func:`ivf_topk` via ``centroids=``; this seeded
-    selection exists so results are bit-reproducible run-to-run and
-    mirrorable by the DuckDB oracle (the same reason the LSH
-    hyperplanes are seeded)."""
-    w = W.orderBy("vec_id")
+    the smallest vec_id serve as list centroids, identified by their
+    vec_id (orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition top-k merge, no global sort; using vec_id itself
+    as list_id avoids the un-partitioned rank window, and since the
+    former rank order was exactly ascending-vec_id order, every l2
+    tie-break is unchanged).  A real deployment would plug trained
+    k-means centroids into :func:`ivf_topk` via ``centroids=``; this
+    seeded selection exists so results are bit-reproducible
+    run-to-run and mirrorable by the DuckDB oracle (the same reason
+    the LSH hyperplanes are seeded)."""
     return (emb.orderBy("vec_id").limit(n_lists)
-            .select(F.row_number().over(w).alias("list_id"),
+            .select(F.col("vec_id").alias("list_id"),
                     F.col("embedding").alias("centroid")))
 
 

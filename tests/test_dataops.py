@@ -170,7 +170,13 @@ def test_ivf_ann_recall_and_plan(spark, emb):
     # every vector lands in exactly one list; all lists from the seed
     cents = seed_centroids(emb, 16)
     assert cents.count() == 16
-    assert [r.list_id for r in cents.orderBy("list_id").collect()] == list(range(1, 17))
+    want = [r.vec_id for r in emb.orderBy("vec_id").limit(16).collect()]
+    assert [r.list_id for r in cents.orderBy("list_id").collect()] == want
+    # seed selection is a per-partition top-k merge, not a global
+    # sort, and carries no un-partitioned window
+    cplan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cplan
+    assert "Window" not in cplan
 
 
 def test_lsh_ann_recall(spark, emb):
