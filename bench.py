@@ -312,10 +312,18 @@ def run_scaling(sf_dir: str = SF_DIR, small: int = 8, big: int = 32) -> dict:
     the in-sandbox analogue of sizing per-executor splits on a real
     cluster."""
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "440000"))
-    from osmquadtree_geometry_spark.datagen import generate_docs_parquet
-    docs = generate_docs_parquet(
-        os.path.join(REPO, ".data", f"geom_scaling_{n_docs}", "docs.parquet"),
-        n_docs)
+    from osmquadtree_geometry_spark.datagen import (
+        generate_docs_parquet, generate_docs_parquet_dir)
+    if n_docs >= 2_000_000:
+        # multi-GB inputs: parallel sharded writer (hours -> minutes)
+        docs = generate_docs_parquet_dir(
+            os.path.join(REPO, ".data", f"geom_scaling_{n_docs}", "docs"),
+            n_docs)
+    else:
+        docs = generate_docs_parquet(
+            os.path.join(REPO, ".data", f"geom_scaling_{n_docs}",
+                         "docs.parquet"),
+            n_docs)
     warm = generate_docs_parquet(
         os.path.join(REPO, ".data", "geom_warmup_44000", "docs.parquet"), 44000)
     os.environ["SPARK_GRAFT_WARMUP_DOCS"] = warm

@@ -421,6 +421,66 @@ def generate_docs_parquet(out_path: str, n_docs: int) -> str:
     return out_path
 
 
+def _write_docs_shard(args: tuple[str, int, int]) -> int:
+    """Worker for generate_docs_parquet_dir: one part file for the
+    contiguous doc-index stripe [start, stop)."""
+    part_path, start, stop = args
+    chunk = 50000
+    writer = pq.ParquetWriter(part_path, DOCS_SCHEMA)
+    try:
+        for s in range(start, stop, chunk):
+            ids, spans = [], []
+            for i in range(s, min(s + chunk, stop)):
+                d, sp = build_doc(i)
+                ids.append(d)
+                spans.append(sp)
+            writer.write_table(pa.Table.from_pydict(
+                {"doc_id": ids, "spans": spans}, schema=DOCS_SCHEMA))
+    finally:
+        writer.close()
+    return stop - start
+
+
+def generate_docs_parquet_dir(out_dir: str, n_docs: int,
+                              n_workers: int | None = None) -> str:
+    """Multi-process fixture writer for the multi-GB scaling inputs
+    (~1 KB/doc: 14M docs is ~14 GB — the single-file writer's one
+    Python process would take hours).  Writes a DIRECTORY of part
+    files (same doc indices, same deterministic content: build_doc(i)
+    depends only on i, so sharding the index range changes nothing),
+    which Spark reads identically.  Idempotent via the same version
+    marker + total-row-count check as generate_docs_parquet."""
+    marker = os.path.join(out_dir, "._fixture_version")
+    if os.path.isdir(out_dir):
+        try:
+            parts = sorted(
+                f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+            rows = sum(pq.read_metadata(os.path.join(out_dir, f)).num_rows
+                       for f in parts)
+            ok_ver = (os.path.exists(marker)
+                      and open(marker).read().strip() == str(FIXTURE_VERSION))
+            if rows == n_docs and ok_ver:
+                return out_dir
+        except Exception:
+            pass
+        import shutil
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    n_workers = n_workers or max(1, (os.cpu_count() or 8) - 4)
+    n_shards = min(n_workers * 4, max(1, n_docs // 50000) or 1)
+    bounds = [n_docs * k // n_shards for k in range(n_shards + 1)]
+    jobs = [(os.path.join(out_dir, f"part-{k:05d}.parquet"),
+             bounds[k], bounds[k + 1])
+            for k in range(n_shards) if bounds[k] < bounds[k + 1]]
+    import multiprocessing as mp
+    with mp.get_context("fork").Pool(n_workers) as pool:
+        written = sum(pool.map(_write_docs_shard, jobs))
+    assert written == n_docs, (written, n_docs)
+    with open(marker, "w") as f:
+        f.write(str(FIXTURE_VERSION))
+    return out_dir
+
+
 def generate_mega_relation_docs(out_path: str, n_ways: int = 10_000,
                                 pts_per_way: int = 4) -> str:
     """Coastline-scale skew fixture (round-3 verdict Next #6): ONE
