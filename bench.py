@@ -331,11 +331,14 @@ def run_scaling(sf_dir: str = SF_DIR, small: int = 8, big: int = 32) -> dict:
     n_proc = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     variants = os.environ.get("SPARK_GRAFT_SCALING_VARIANTS",
                               "plain,bucketed").split(",")
-    if "bucketed" in variants:
+    if "bucketed" in variants and os.environ.get(
+            "SPARK_GRAFT_SKIP_PREPARE") != "1":
         # one-off ingest prepass (excluded from timing, like the
         # reference's calcqts/sortblocks prepass) — the bucketed
         # tables land in the shared derby metastore/warehouse, so the
-        # fresh scaling-job JVMs can spark.table() them
+        # fresh scaling-job JVMs can spark.table() them.  Set
+        # SPARK_GRAFT_SKIP_PREPARE=1 to reuse a layout already built
+        # for this input (the prepass is ~12 min at 14M docs).
         subprocess.run(
             [sys.executable, __file__, "--prepare-bucketed"],
             env={**os.environ, "SPARK_GRAFT_CPUS": str(big),
@@ -418,25 +421,45 @@ def main() -> None:
         from osmquadtree_geometry_spark.pipeline import prepare_bucketed
         spark = _spark(CPUS)
         base = os.path.join(REPO, ".data", "bucketed")
+        # bucket count is a LAYOUT knob: with n_buckets == big-level
+        # cores the bucket-aligned join runs exactly 1 task/core (zero
+        # tail slack — one straggler extends the stage), while the
+        # small level gets n_buckets/small waves of packing.  4x cores
+        # gives the big level the same multi-wave packing (at 100 TB
+        # the layout has thousands of buckets and this is moot).
+        n_buckets = int(os.environ.get("SPARK_GRAFT_SCALING_BUCKETS", "128"))
         prepare_bucketed(spark, os.environ["SPARK_GRAFT_DOCS"],
-                         n_buckets=32, prefix="scal", base_path=base,
+                         n_buckets=n_buckets, prefix="scal", base_path=base,
                          manifest_path=os.path.join(base, "scal.json"))
         warm = os.environ.get("SPARK_GRAFT_WARMUP_DOCS")
         if warm:
-            prepare_bucketed(spark, warm, n_buckets=32, prefix="warmscal",
-                             base_path=base,
+            prepare_bucketed(spark, warm, n_buckets=n_buckets,
+                             prefix="warmscal", base_path=base,
                              manifest_path=os.path.join(base, "warmscal.json"))
         print(json.dumps({"prepared": True}))
         return
     if "--scaling-job" in sys.argv:
-        spark = _spark(CPUS)
         docs = os.environ.get("SPARK_GRAFT_DOCS")
         warm = os.environ.get("SPARK_GRAFT_WARMUP_DOCS")
         bucketed = os.environ.get("SPARK_GRAFT_SCALING_BUCKETED") == "1"
         prefix = "scal" if bucketed else None
         if bucketed:
-            from osmquadtree_geometry_spark.pipeline import register_bucketed
+            # shuffle partitions = bucket count, at EVERY parallelism
+            # level: the post-collect ways join is Exchange-free only
+            # when the agg's hash partitioning matches the bucket
+            # layout — a mismatched setting re-shuffles the widest
+            # intermediate (the collected lonlat rows) a second time
+            # (plan-verified: 3 Exchanges at shuffle=8 vs 2 at =128)
             base = os.path.join(REPO, ".data", "bucketed")
+            with open(os.path.join(base, "scal.json")) as f:
+                n_buckets = json.load(f)[0]["n_buckets"]
+            from osmquadtree_geometry_spark.session import get_spark
+            spark = get_spark("bench", master=f"local[{CPUS}]",
+                              shuffle_partitions=n_buckets)
+        else:
+            spark = _spark(CPUS)
+        if bucketed:
+            from osmquadtree_geometry_spark.pipeline import register_bucketed
             register_bucketed(spark, os.path.join(base, "scal.json"))
             if os.path.exists(os.path.join(base, "warmscal.json")):
                 register_bucketed(spark, os.path.join(base, "warmscal.json"))

@@ -25,6 +25,12 @@ def get_spark(app: str = "osmquadtree_geometry_spark",
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # write_bucketed leaves exactly ONE file per bucket, so the
+        # planning-time file listing this enables is O(n_buckets) and
+        # the per-bucket sort order reaches the scan: bucketed merge
+        # joins run sort-free (Spark only assumes bucket order when a
+        # bucket has at most one file, so this is safe for any layout)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # the scan side carries the explode+parse work; 128m splits a
         # local single-file fixture into ~3 tasks (tune per deployment:
         # at 100TB with thousands of files the default is fine)

@@ -299,8 +299,16 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     satisfies the join's partitioning requirement; see
     test_bucketed_join_no_shuffle).  E.g. bucket the decoded ways and
     node-locations by id once, run every later enrichment join
-    shuffle-free."""
-    w = (df.write.mode("overwrite").format("parquet")
+    shuffle-free.
+
+    The pre-write repartition on the bucket column leaves exactly ONE
+    file per bucket: Spark only propagates the per-bucket sort order
+    to the scan when a bucket has at most one file, so without it
+    every bucketed join re-sorts both sides (measured as a Sort over
+    each bucketed FileScan in the J1 plan).  One shuffle at ingest
+    buys sort-free merge joins for every later consumer."""
+    w = (df.repartition(n_buckets, F.col(bucket_col))
+         .write.mode("overwrite").format("parquet")
          .bucketBy(n_buckets, bucket_col).sortBy(bucket_col))
     if path is not None:
         w = w.option("path", path)

@@ -119,6 +119,10 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         plan = _plan(j)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
+        # write_bucketed leaves ONE file per bucket, so the scan
+        # propagates the per-bucket sort and the merge join needs no
+        # Sort either — shuffle-free AND sort-free
+        assert "Sort [" not in plan, plan
         assert j.count() == 20000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -202,6 +206,9 @@ def test_bucketed_waynode_join_plan(spark, docs_path, tmp_path):
         plan = _plan(ok)
         join_part = plan.split("SortMergeJoin")[-1]  # below the ref join
         assert "Exchange" not in join_part, join_part
+        # single-file buckets: the refs⋈locations merge join consumes
+        # the layout's sort order — no Sort over either bucketed scan
+        assert "Sort [" not in join_part, join_part
         # same rows as the unbucketed J1
         t = decode_all(read_docs(spark, docs_path))
         ok0, errs0 = collect_way_nodes(t["ways"], t["nodes"])
