@@ -414,9 +414,9 @@ def collect_way_nodes_bucketed(spark: SparkSession,
     locs = (spark.table(f"{prefix}_nodes")
             .select(F.col("id").alias("ref"), "lon", "lat"))
     j = refs.join(locs, "ref", "left")
+    from .operators.waynodes import collect_lonlats_expr
     grouped = (j.groupBy("way_id")
-               .agg(F.expr("transform(array_sort(collect_list(struct(pos, lon, lat))),"
-                           " p -> struct(p.lon as lon, p.lat as lat))").alias("lonlats"),
+               .agg(F.expr(collect_lonlats_expr()).alias("lonlats"),
                     F.min(F.when(F.col("lon").isNull(),
                                  F.struct("pos", "ref"))).alias("first_missing"))
                .withColumnRenamed("way_id", "id"))
