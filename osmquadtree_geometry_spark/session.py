@@ -47,6 +47,12 @@ def get_spark(app: str = "osmquadtree_geometry_spark",
         # use tmpfs when available (a real cluster uses local NVMe)
         .config("spark.local.dir",
                 "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp")
+        # collect_list over millions of groups (the J1 per-way regroup,
+        # J2 member collect) always exceeds ObjectHashAggregate's
+        # fallback threshold and re-sorts anyway — skipping the doomed
+        # hash attempt measured -9% wall / -10% cpu at 4 cores and
+        # -12% at 16 on the 14M-doc metric job, a wash at 32 (minima)
+        .config("spark.sql.execution.useObjectHashAggregateExec", "false")
         # G1's concurrent cycles thrash with 32 task threads on this
         # allocation-heavy batch workload (measured 2.3x slower);
         # throughput collector wins for pure batch
