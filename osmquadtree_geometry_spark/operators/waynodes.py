@@ -63,11 +63,19 @@ def collect_way_nodes(ways: DataFrame, nodes: DataFrame,
              (first missing ref in order, as the reference reports).
     """
     refs = ways.select("id", F.posexplode("refs").alias("pos", "ref"))
+    # NOTE: node ids are assumed unique (true for OSM and the driver
+    # fixtures).  If a deployment can feed duplicate-id node rows,
+    # dedupe them upstream (drop_duplicates on id) — a duplicate fans
+    # out the left join AND makes the packed/unpacked array_sort
+    # tie-break diverge for equal-pos elements.
     locs = nodes.select(F.col("id").alias("ref"), "lon", "lat")
     j = refs.join(locs, "ref", "left")
+    # a half-null location row (corrupt input) must route to the error
+    # branch in BOTH collect variants: the packed bigint nulls out when
+    # EITHER half is null, so test lon OR lat here, not just lon
     grouped = (j.groupBy("id")
                .agg(F.expr(collect_lonlats_expr()).alias("lonlats"),
-                    F.min(F.when(F.col("lon").isNull(),
+                    F.min(F.when(F.col("lon").isNull() | F.col("lat").isNull(),
                                  F.struct("pos", "ref"))).alias("first_missing")))
     enriched = grouped.join(ways.select("doc_id", "id", "refs", "tags"), ["id"])
     if persist_shared:

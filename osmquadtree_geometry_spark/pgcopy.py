@@ -191,6 +191,111 @@ def deliver_pgcopy(df: DataFrame, dsn: str, table: str,
     return acked.value
 
 
+LEDGER_TABLE = "_pg_deliveries"
+
+
+def ledger_ddl(schema: str = "public", ledger: str = LEDGER_TABLE) -> str:
+    """Delivery-ledger DDL: one row per promoted (target, fingerprint,
+    partition).  The PRIMARY KEY is the exactly-once gate — a second
+    attempt's insert hits unique_violation (23505) and skips promote."""
+    return (f"CREATE TABLE IF NOT EXISTS {schema}.{ledger} ("
+            "target text, fingerprint text, part int, rows bigint, "
+            "PRIMARY KEY (target, fingerprint, part))")
+
+
+def deliver_pgcopy_exactly_once(df: DataFrame, dsn: str, table: str,
+                                fingerprint: str,
+                                columns: list[tuple[str, str]] | None = None,
+                                schema: str = "public",
+                                ledger: str = LEDGER_TABLE) -> int:
+    """EXACTLY-ONCE batch delivery under task retries (round-4 verdict
+    Next #3).  :func:`deliver_pgcopy` is at-least-once: a partition
+    task that fails after its COPY committed is re-attempted by Spark
+    and delivers its rows twice.  Here each attempt instead:
+
+    1. COPYs into an attempt-scoped staging table
+       ``{table}__stg_{fingerprint}_p{partition}_a{attempt}`` (a failed
+       attempt's half-written staging is orphaned, never promoted);
+    2. promotes in ONE server transaction keyed on the delivery
+       ledger's ``(target, fingerprint, partition)`` PRIMARY KEY:
+       ``BEGIN; INSERT INTO ledger ...; INSERT INTO target SELECT *
+       FROM staging; COMMIT``.  If an earlier attempt already
+       committed, the ledger insert raises unique_violation (23505) —
+       the attempt rolls back and skips, so the target receives each
+       partition exactly once no matter how many times Spark retries
+       the task (concurrent speculative attempts serialize on the PK
+       row lock);
+    3. drops its staging table.
+
+    ``fingerprint`` must be stable for the logical dataset — pass the
+    LineageStore input fingerprint (``lineage.fingerprint_input``) so a
+    resumed job skips already-promoted partitions instead of appending
+    them again.  The target table must already exist (write_postgresql
+    before-DDL, or caller DDL).  Staging tables orphaned by a crash
+    after COPY but before promote-or-drop are inert (never promoted);
+    sweep them by the ``{table}__stg_`` name prefix.  Returns rows
+    promoted BY THIS RUN (already-delivered partitions add 0).
+    """
+    from .pgwire import PgConnection
+
+    cols = columns or copy_columns_for(df)
+    enc = encode_copy_rows(df, cols)
+    promoted = df.sparkSession.sparkContext.accumulator(0)
+    with PgConnection(dsn) as conn:  # bootstrap the ledger (idempotent)
+        conn.execute(ledger_ddl(schema, ledger))
+
+    def send_part(rows) -> None:
+        from itertools import chain
+
+        from pyspark import TaskContext
+
+        from .pgwire import PgConnection, PgError
+
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        tc = TaskContext.get()
+        pid, attempt = tc.partitionId(), tc.taskAttemptId()
+        stg = f"{table}__stg_{fingerprint}_p{pid}_a{attempt}"
+
+        def payload():
+            yield HEADER
+            for r in chain((first,), it):
+                yield r.copy_row
+            yield TRAILER
+
+        with PgConnection(dsn) as conn:
+            collist = ", ".join(f'"{c}" {_STG_TYPES[k]}' for c, k in cols)
+            conn.execute(f"CREATE TABLE {schema}.{stg} ({collist})")
+            n = conn.copy_in(copy_sql(stg, cols, schema), payload())
+            conn.execute("begin")
+            try:
+                conn.execute(
+                    f"INSERT INTO {schema}.{ledger} VALUES "
+                    f"('{table}', '{fingerprint}', {pid}, {n})")
+            except PgError as e:
+                conn.execute("rollback")
+                if e.fields.get("C") != "23505":
+                    raise  # real failure — let Spark retry the task
+                # unique_violation: an earlier attempt already promoted
+            else:
+                conn.execute(f"INSERT INTO {schema}.{table} "
+                             f"SELECT * FROM {schema}.{stg}")
+                conn.execute("commit")
+                promoted.add(n)
+            conn.execute(f"DROP TABLE {schema}.{stg}")
+
+    enc.foreachPartition(send_part)
+    return promoted.value
+
+
+_STG_TYPES = {"int8": "bigint", "float8": "double precision",
+              "bool": "boolean", "text": "text", "bytea": "bytea",
+              "hstore": "hstore"}
+
+
 def stream_to_postgres(sdf: DataFrame, dsn: str, table: str,
                        columns: list[tuple[str, str]] | None = None,
                        schema: str = "public",

@@ -51,8 +51,13 @@ def get_spark(app: str = "osmquadtree_geometry_spark",
         # J2 member collect) always exceeds ObjectHashAggregate's
         # fallback threshold and re-sorts anyway — skipping the doomed
         # hash attempt measured -9% wall / -10% cpu at 4 cores and
-        # -12% at 16 on the 14M-doc metric job, a wash at 32 (minima)
-        .config("spark.sql.execution.useObjectHashAggregateExec", "false")
+        # -12% at 16 on the 14M-doc metric job, a wash at 32 (minima).
+        # CAVEAT: internal conf (may be renamed across Spark versions)
+        # applied session-wide, so small-group object aggregates lose
+        # ObjectHashAggregate too; SPARK_GRAFT_OBJECT_HASH_AGG=true
+        # restores the stock planner for mixed workloads
+        .config("spark.sql.execution.useObjectHashAggregateExec",
+                os.environ.get("SPARK_GRAFT_OBJECT_HASH_AGG", "false"))
         # G1's concurrent cycles thrash with 32 task threads on this
         # allocation-heavy batch workload (measured 2.3x slower);
         # throughput collector wins for pure batch

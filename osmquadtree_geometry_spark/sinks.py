@@ -458,7 +458,9 @@ def _table_kind(name: str) -> str:
 def write_postgresql(res, dsn: str, style=None, extended: bool = True,
                      lowzoom: list[int] | None = None,
                      schema: str = "public",
-                     exec_after: bool = True) -> dict:
+                     exec_after: bool = True,
+                     delivery_mode: str = "fast",
+                     fingerprint: str = "run") -> dict:
     """LIVE PostgreSQL delivery (round-3 verdict Missing #1) with the
     reference's exact sequencing (`writepostgresql.rs:277-408`
     prepare_writepostgresdata / WritePostgresData::finish): one driver
@@ -473,9 +475,20 @@ def write_postgresql(res, dsn: str, style=None, extended: bool = True,
     The CREATE TABLE columns are derived from the packed DataFrames'
     actual COPY columns, so DDL and payload cannot drift.  Returns
     {tables, before, after, after_errors, rows} for callers/tests.
+
+    ``delivery_mode``: ``'fast'`` (default) is the reference's plain
+    per-partition COPY — at-least-once under Spark task retries.
+    ``'exactly_once'`` routes through
+    :func:`pgcopy.deliver_pgcopy_exactly_once` (attempt-scoped staging
+    + ledger-gated transactional promote, keyed on ``fingerprint``);
+    the before-DDL then also bootstraps the ledger and clears this
+    run's rows for the recreated tables so a full job re-run delivers
+    fresh.  Pass a LineageStore input fingerprint to make the key
+    meaningful across resumed jobs.
     """
     from .config.style import GeometryStyle
-    from .pgcopy import copy_columns_for, deliver_pgcopy
+    from .pgcopy import (LEDGER_TABLE, copy_columns_for, deliver_pgcopy,
+                         deliver_pgcopy_exactly_once, ledger_ddl)
     from .pgwire import PgConnection, PgError
 
     used = style or GeometryStyle()
@@ -486,6 +499,13 @@ def write_postgresql(res, dsn: str, style=None, extended: bool = True,
     packed = {name: pack_tag_columns(df, tag_cols[_table_kind(name)])
               for name, df in routed.items()}
     before, after = [], []
+    if delivery_mode == "exactly_once":
+        before.append(ledger_ddl(schema))
+        for name in packed:
+            # target tables are dropped+recreated below, so stale
+            # ledger rows from a previous run must go too
+            before.append(f"DELETE FROM {schema}.{LEDGER_TABLE} "
+                          f"WHERE target = '{name}'")
     copy_cols = {}
     for name, df in packed.items():
         cols = copy_columns_for(df)
@@ -520,8 +540,14 @@ def write_postgresql(res, dsn: str, style=None, extended: bool = True,
         conn.execute("commit")
     rows = {}
     for name, df in packed.items():
-        rows[name] = deliver_pgcopy(df, dsn, name,
-                                    columns=copy_cols[name], schema=schema)
+        if delivery_mode == "exactly_once":
+            rows[name] = deliver_pgcopy_exactly_once(
+                df, dsn, name, fingerprint,
+                columns=copy_cols[name], schema=schema)
+        else:
+            rows[name] = deliver_pgcopy(df, dsn, name,
+                                        columns=copy_cols[name],
+                                        schema=schema)
     after_errors = []
     if exec_after:
         with PgConnection(dsn) as conn:

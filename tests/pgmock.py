@@ -41,14 +41,24 @@ class MockPg(threading.Thread):
     client opens one connection per Spark partition)."""
 
     def __init__(self, auth: str = "trust", user: str = "osm",
-                 password: str = "secret", fail_sql_containing: str = "boom"):
+                 password: str = "secret", fail_sql_containing: str = "boom",
+                 fail_copy_once_containing: str = ""):
         super().__init__(daemon=True)
         self.auth = auth
         self.user = user
         self.password = password
         self.fail_marker = fail_sql_containing
+        # kill the FIRST COPY whose target contains this marker
+        # mid-stream (after data has arrived), like a server crash /
+        # network drop during the transfer — the exactly-once tests'
+        # failure injection
+        self.fail_copy_marker = fail_copy_once_containing
+        self._copy_fail_budget = 1 if fail_copy_once_containing else 0
         self.queries: list[str] = []
         self.copies: dict[str, bytes] = {}
+        # exactly-once emulation state: delivery-ledger PK rows and
+        # per-table promoted row counts
+        self.ledger: set[tuple] = set()
         self.startups: list[dict] = []
         self._lock = threading.Lock()
         self._srv = socket.create_server(("127.0.0.1", 0))
@@ -133,6 +143,11 @@ class MockPg(threading.Thread):
         conn.sendall(_msg(b"S", b"server_version\x0016.0-mock\x00") +
                      _msg(b"K", struct.pack(">ii", os.getpid(), 1234)) +
                      _msg(b"Z", b"I"))
+        # per-connection transaction buffer: ledger/promote effects
+        # issued between begin and commit apply atomically on commit
+        # and vanish if the connection dies first (client crash =
+        # rollback, as a real server would)
+        txn = {"active": False, "pending": []}
         while True:
             kind, payload = rd.msg()
             if kind == b"X":
@@ -147,8 +162,29 @@ class MockPg(threading.Thread):
                 self._err(conn, f"mock failure for {sql!r}", "42601")
                 continue
             up = sql.upper()
+            low = sql.strip().lower()
+            if low == "begin":
+                txn["active"], txn["pending"] = True, []
+            elif low == "commit":
+                with self._lock:
+                    for op, *args in txn["pending"]:
+                        if op == "ledger":
+                            self.ledger.add(args[0])
+                        else:  # promote
+                            tgt, data = args
+                            self.copies[tgt] = (
+                                self.copies.get(tgt, b"") + data)
+                txn["active"], txn["pending"] = False, []
+            elif low == "rollback":
+                txn["active"], txn["pending"] = False, []
+            if low in ("begin", "commit", "rollback"):
+                tag = sql.split()[0].upper().encode() + b"\x00"
+                conn.sendall(_msg(b"C", tag) + _msg(b"Z", b"I"))
+                continue
             if up.startswith("COPY") and "FROM STDIN" in up:
                 self._copy_in(conn, rd, sql)
+            elif self._exactly_once_stmt(conn, sql, txn):
+                pass  # handled (ledger insert / promote / drop staging)
             elif up.startswith("SELECT"):
                 # one fixed row so execute() row parsing is covered
                 rowdesc = (struct.pack(">h", 1) + b"mock\x00" +
@@ -160,14 +196,71 @@ class MockPg(threading.Thread):
                 tag = sql.split()[0].upper().encode() + b"\x00"
                 conn.sendall(_msg(b"C", tag) + _msg(b"Z", b"I"))
 
+    def _exactly_once_stmt(self, conn, sql: str, txn: dict) -> bool:
+        """Emulate the three statements the exactly-once client issues
+        beyond plain DDL: the ledger INSERT (PK-gated, 23505 on dup),
+        the promote INSERT..SELECT (moves staged COPY bytes into the
+        target), and DROP of a staging table.  Inside a transaction the
+        ledger/promote effects are buffered into ``txn['pending']`` and
+        applied on commit.  Returns True when the statement was handled
+        (response already sent)."""
+        import re
+        m = re.match(r"INSERT INTO (\S+) VALUES \('([^']*)', '([^']*)',"
+                     r" (\d+), (\d+)\)", sql)
+        if m and "_pg_deliveries" in m.group(1):
+            key = (m.group(2), m.group(3), int(m.group(4)))
+            with self._lock:
+                dup = key in self.ledger
+            if dup:
+                self._err(conn, "duplicate key value violates unique "
+                          "constraint", "23505")
+                return True
+            if txn["active"]:
+                txn["pending"].append(("ledger", key))
+            else:
+                with self._lock:
+                    self.ledger.add(key)
+            conn.sendall(_msg(b"C", b"INSERT 0 1\x00") + _msg(b"Z", b"I"))
+            return True
+        m = re.match(r"INSERT INTO (\S+) SELECT \* FROM (\S+)", sql)
+        if m:
+            with self._lock:
+                staged = self.copies.get(m.group(2), b"")
+            if txn["active"]:
+                txn["pending"].append(("promote", m.group(1), staged))
+            else:
+                with self._lock:
+                    self.copies[m.group(1)] = (
+                        self.copies.get(m.group(1), b"") + staged)
+            conn.sendall(_msg(b"C", b"INSERT 0 0\x00") + _msg(b"Z", b"I"))
+            return True
+        m = re.match(r"DROP TABLE (\S+)$", sql)
+        if m and "__stg_" in m.group(1):
+            with self._lock:
+                self.copies.pop(m.group(1), None)
+            conn.sendall(_msg(b"C", b"DROP TABLE\x00") + _msg(b"Z", b"I"))
+            return True
+        return False
+
     def _copy_in(self, conn, rd, sql: str) -> None:
         # table name: COPY schema.table (cols...) FROM STDIN ...
         table = sql.split()[1].split("(")[0]
         conn.sendall(_msg(b"G", struct.pack(">bh", 1, 0)))
         chunks = []
+        inject_fail = False
+        if self.fail_copy_marker and self.fail_copy_marker in table:
+            with self._lock:
+                if self._copy_fail_budget > 0:
+                    self._copy_fail_budget -= 1
+                    inject_fail = True
         while True:
             kind, payload = rd.msg()
             if kind == b"d":
+                if inject_fail:
+                    # data is flowing: abort the COPY server-side, as a
+                    # crash mid-transfer would — nothing is stored
+                    self._err(conn, "mock mid-copy failure", "57P01")
+                    return
                 chunks.append(payload)
             elif kind == b"c":
                 data = b"".join(chunks)

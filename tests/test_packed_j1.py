@@ -46,3 +46,17 @@ def test_packed_collect_parity(spark, monkeypatch):
                            (1795000000, 890000000),
                            (-1, 1), (0, -2147483648))
     assert base[1] == [(12, "missing node 99")]
+
+
+def test_half_null_location_routes_to_errors(spark, monkeypatch):
+    """A corrupt node row with exactly one of lon/lat NULL must hit the
+    error branch identically in both collect variants (the packed
+    bigint nulls out when either half is null)."""
+    ways = spark.createDataFrame([("d0", 20, [1, 2], {})], WAYS)
+    nodes = spark.createDataFrame([(1, 5, 6), (2, 7, None)], NODES)
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_PACK_J1", flag)
+        ok, err = collect_way_nodes(ways, nodes)
+        assert ok.count() == 0, flag
+        assert [(r.elem_id, r.message) for r in err.collect()] == \
+            [(20, "missing node 2")], flag
