@@ -21,10 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .kernels.quadtree import with_point_qt
+from .tableio import read_table
 
 
 def read_docs(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Scan the interleaved docs table.  ``path`` is a parquet path in
+    this sandbox; with SPARK_GRAFT_TABLE_FORMAT=iceberg it is an
+    Iceberg catalog table name (the north rule's input shape) — the
+    seam is tableio.read_table, nothing downstream changes."""
+    return read_table(spark, path)
 
 
 def _field(n: int, text: str = "text") -> str:

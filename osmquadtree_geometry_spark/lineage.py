@@ -12,6 +12,11 @@ completed run writes one `_SUCCESS`-gated lineage row per partition
 plus its output parquet; `run_stage` skips recomputation when lineage
 for the same fingerprint already exists (mirrors OtherData/Timings
 instrumentation, `lib.rs:61-68`).
+
+All reads/writes go through the tableio seam, so with
+SPARK_GRAFT_TABLE_FORMAT=iceberg the lineage store IS an Iceberg
+metadata table (the north rule's `_lineage` table) and the resume
+marker becomes an atomic snapshot commit.
 """
 
 from __future__ import annotations
@@ -21,6 +26,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .tableio import read_table, table_exists, write_table
 
 LINEAGE_SCHEMA = ("stage string, input_fingerprint string, partition_id int, "
                   "rows long, bytes long, completed_at double")
@@ -37,10 +44,10 @@ class LineageStore:
 
     def read(self, stage: str) -> DataFrame | None:
         d = self._dir(stage)
-        if not os.path.exists(d):
+        if not table_exists(self.spark, d):
             return None
         try:
-            return self.spark.read.parquet(d)
+            return read_table(self.spark, d)
         except Exception:
             return None
 
@@ -75,8 +82,8 @@ class LineageStore:
                              os.path.getsize(path), now))
             if not rows:  # empty output: one zero-row marker partition
                 rows = [(stage, fingerprint, 0, 0, 0, now)]
-            (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-             .write.mode("append").parquet(self._dir(stage)))
+            write_table(self.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                        self._dir(stage), mode="append")
             return
         counts = (out
                   .withColumn("partition_id", F.spark_partition_id())
@@ -88,7 +95,7 @@ class LineageStore:
             "partition_id", "rows",
             (F.col("rows") * 64).alias("bytes"),  # estimate (no files yet)
             F.lit(now).alias("completed_at")))
-        est.write.mode("append").parquet(self._dir(stage))
+        write_table(est, self._dir(stage), mode="append")
 
     def output_dir(self, stage: str, fingerprint: str) -> str:
         return os.path.join(self.root, f"out_stage={stage}",
@@ -121,11 +128,11 @@ def run_stage(store: LineageStore, stage: str, fingerprint: str,
     out_dir = store.output_dir(stage, fingerprint)
     if not force and store.is_complete(stage, fingerprint):
         try:
-            return store.spark.read.parquet(out_dir), True
+            return read_table(store.spark, out_dir), True
         except Exception:
             pass  # lineage without output -> recompute
     df = build()
-    df.write.mode("overwrite").parquet(out_dir)
-    materialized = store.spark.read.parquet(out_dir)
+    write_table(df, out_dir)
+    materialized = read_table(store.spark, out_dir)
     store.record(stage, fingerprint, materialized, out_dir=out_dir)
     return materialized, False

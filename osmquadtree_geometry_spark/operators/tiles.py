@@ -65,7 +65,8 @@ def allocate_tiles(df: DataFrame, tiles: list[int],
 
 def write_sorted_tiles(df: DataFrame, out_path: str,
                        tile_col: str = "tile") -> None:
-    """S8: globally tile-sorted output, id-sorted within tile."""
-    (df.repartitionByRange(tile_col, "id")
-       .sortWithinPartitions(tile_col, "id")
-       .write.mode("overwrite").parquet(out_path))
+    """S8: globally tile-sorted output, id-sorted within tile
+    (format-neutral via the tableio seam)."""
+    from ..tableio import write_table
+    write_table(df.repartitionByRange(tile_col, "id")
+                .sortWithinPartitions(tile_col, "id"), out_path)

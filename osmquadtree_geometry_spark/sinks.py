@@ -237,10 +237,12 @@ def write_geojson_flat(df: DataFrame, geom_type: str, out_path: str) -> None:
 
 
 def write_sorted_tiles(df: DataFrame, out_path: str) -> None:
-    """S8: tile-range partitioned, (tile, id)-sorted parquet."""
-    (df.repartitionByRange("tile", "id")
-       .sortWithinPartitions("tile", "id")
-       .write.mode("overwrite").parquet(out_path))
+    """S8: tile-range partitioned, (tile, id)-sorted layout (parquet
+    here; an Iceberg target gets the same sort then a v2 snapshot
+    commit via the tableio seam)."""
+    from .tableio import write_table
+    write_table(df.repartitionByRange("tile", "id")
+                .sortWithinPartitions("tile", "id"), out_path)
 
 
 def write_feature_tables(res, out_dir: str, media: DataFrame | None = None
@@ -282,11 +284,12 @@ def write_feature_tables(res, out_dir: str, media: DataFrame | None = None
         elif "tile" in df.columns:
             # tile-keyed but id-less (e.g. media): still range-layout
             # by tile so tile IN-list queries prune row groups
-            (df.repartitionByRange("tile")
-               .sortWithinPartitions("tile")
-               .write.mode("overwrite").parquet(path))
+            from .tableio import write_table
+            write_table(df.repartitionByRange("tile")
+                        .sortWithinPartitions("tile"), path)
         else:
-            df.write.mode("overwrite").parquet(path)
+            from .tableio import write_table
+            write_table(df, path)
         out[name] = path
     return out
 

@@ -107,9 +107,11 @@ def read_feature_tables(spark: SparkSession, out_dir: str):
     from .operators.makegeoms import split_way_features
     from .pipeline import PipelineResult
 
+    from .tableio import read_table, table_exists
+
     def rd(name: str) -> DataFrame | None:
         p = os.path.join(out_dir, name)
-        return spark.read.parquet(p) if os.path.exists(p) else None
+        return read_table(spark, p) if table_exists(spark, p) else None
 
     wf = rd("way_features")
     if wf is not None:
@@ -134,7 +136,8 @@ def read_geometry(spark: SparkSession, path: str,
     ``write_sorted_tiles`` output with (lon, lat) point features.
     ``poly`` implies its bbox as the coarse filter; the exact pnpoly
     refine runs only on bbox survivors (Arrow-batched)."""
-    df = spark.read.parquet(path)
+    from .tableio import read_table
+    df = read_table(spark, path)
     if max_minzoom is not None:
         df = df.where(F.expr(sql_qt_depth("tile")) <= max_minzoom)
         if "minzoom" in df.columns:

@@ -252,8 +252,9 @@ def test_multimodal_features(spark, decoded):
         assert r.n_bytes == 16  # md5 payload
     from osmquadtree_geometry_spark.multimodal import HAVE_PIL
     if not HAVE_PIL:
+        # non-PNG payloads stay an honest stub without an imaging lib
         with pytest.raises(NotImplementedError):
-            decode_image(b"xx")
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     # determinism: same payload -> same features
     again = {(r.doc_id, r.media_ref): r.features for r in out.collect()}
     for r in rows:
@@ -281,13 +282,12 @@ def _tiny_png(pixels):
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def test_multimodal_real_decode_when_pil_present(spark):
-    """Real decode path (gated on an imaging lib being installed):
-    same mapInPandas shape as the fake path, pixel values pinned
-    against the handcrafted source image."""
+def test_multimodal_real_decode(spark):
+    """Real decode path — UNCONDITIONAL (round-4 verdict Next #8): PNG
+    decodes via PIL when installed, else via the stdlib decoder; same
+    mapInPandas shape as the fake path, pixel values pinned against
+    the handcrafted source image."""
     from osmquadtree_geometry_spark import multimodal as mm
-    if not mm.HAVE_PIL:
-        pytest.skip("PIL not installed in this container")
     pixels = [16 * i for i in range(16)]  # 4x4 gradient
     png = _tiny_png(pixels)
     feats = mm.decode_image(png, dim=16)
@@ -301,6 +301,69 @@ def test_multimodal_real_decode_when_pil_present(spark):
     row = mm.extract_features(df, dim=16, fake=False).collect()[0]
     assert row.features == pytest.approx([p / 256.0 for p in pixels])
     assert row.n_bytes == len(png)
+
+
+def _png_rgb_filtered(px, filters):
+    """Handcraft an 8-bit RGB PNG with an EXPLICIT filter type per row
+    (applies the spec's filter transform before deflate) so the
+    decoder's Sub/Up/Average/Paeth reconstruction is exercised."""
+    import struct
+    import zlib
+    h, w = len(px), len(px[0])
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = b""
+    prev = [0] * (w * 3)
+    for y, ft in zip(range(h), filters):
+        row = [v for pix in px[y] for v in pix]
+        enc = []
+        for i, v in enumerate(row):
+            left = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(left, up, ul)}[ft]
+            enc.append((v - pred) & 0xFF)
+        raw += bytes([ft]) + bytes(enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_stdlib_png_decoder_filters_and_luma():
+    """decode_png reconstructs all five row filters on an RGB image,
+    and the grayscale conversion matches PIL's integer luma formula."""
+    from osmquadtree_geometry_spark import multimodal as mm
+    px = [[((x * 37 + y * 11) % 256, (x * 91 + 13 * y) % 256,
+            (x * 7 + y * 201) % 256)
+           for x in range(5)] for y in range(5)]
+    png = _png_rgb_filtered(px, filters=[0, 1, 2, 3, 4])
+    got = mm.decode_png(png)
+    assert got.shape == (5, 5, 3)
+    assert got.tolist() == [[list(p) for p in row] for row in px]
+    gray = mm._png_to_gray(got)
+    for y in range(5):
+        for x in range(5):
+            r, g, b = px[y][x]
+            assert gray[y][x] == (299 * r + 587 * g + 114 * b) // 1000
+    # area-average pool at a non-integer ratio stays in range and is
+    # deterministic
+    feats = mm.decode_image(png, dim=4)
+    assert len(feats) == 4 and all(0 <= v < 1 for v in feats)
+    assert mm.decode_image(png, dim=4).tolist() == feats.tolist()
+    # truncated / corrupt payloads raise cleanly
+    with pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
 
 
 # ---------------------------------------------------------------------------
