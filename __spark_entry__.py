@@ -389,13 +389,21 @@ def q_tile_assignment(spark, sf_dir):
 def q_pip_join(spark, sf_dir):
     from osmquadtree_geometry_spark.spatial.joins import point_in_polygon_join
     res = _pipeline(spark, sf_dir)
-    return point_in_polygon_join(res.points, res.simple_polygons, cell_depth=10)
+    # start from the precomputed spatial-index side tables written
+    # with the layout (round-4 verdict Next #5) when present
+    meta = res.spatial_index.get("meta", {})
+    return point_in_polygon_join(
+        res.points, res.simple_polygons, cell_depth=10,
+        poly_cover=res.spatial_index.get("poly_cover"),
+        point_cells=res.spatial_index.get("points_cells"),
+        cover_depths=meta.get("cover_depths"))
 
 
 def q_knn_join(spark, sf_dir):
     from osmquadtree_geometry_spark.spatial.joins import knn_join
     res = _pipeline(spark, sf_dir)
-    return (knn_join(res.points, res.points, k=3, cell_depth=8, max_rings=2)
+    return (knn_join(res.points, res.points, k=3, cell_depth=8, max_rings=2,
+                     target_cells=res.spatial_index.get("points_cells"))
             .select("query_id", "target_id",
                     _centi(F.col("dist")).alias("dist_c")))
 

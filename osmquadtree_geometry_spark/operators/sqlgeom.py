@@ -50,3 +50,30 @@ def sql_bbox(lonlats: str) -> dict[str, str]:
 def sql_is_ring(refs: str) -> str:
     """`process_geometry.rs:260`: refs[0] == refs[last]."""
     return f"(size({refs}) > 0 AND element_at({refs}, 1) = element_at({refs}, -1))"
+
+
+def sql_pnpoly(ring: str, lon: str, lat: str) -> str:
+    """Ray-cast point-in-ring as a pure SQL fold — bit-identical to
+    kernels.geomcalc.points_in_ring (the reference edge iteration,
+    `position.rs:308-326`): edges (i-1, i), coordinates as float
+    degrees (v * 1e-7), crossing parity on
+    ``tx < (xj - xi) * (ty - yi) / (yj - yi) + xi`` with the same
+    IEEE-754 double operation order.  Zero-divides land on the masked
+    (cond=false) branch exactly as numpy's errstate-ignored lanes do.
+
+    Keeps pip joins fully JVM-side: candidate (polygon, point) pairs
+    from the cell equi-join are filtered in the join stage, no pandas
+    round-trip and no packed-bucket shuffle."""
+    tx = f"(cast({lon} as double) * 1e-7)"
+    ty = f"(cast({lat} as double) * 1e-7)"
+
+    def flt(idx: str, field: str) -> str:
+        return f"(cast({ring}[{idx}].{field} as double) * 1e-7)"
+
+    xi, yi = flt("i", "lon"), flt("i", "lat")
+    xj, yj = flt("i - 1", "lon"), flt("i - 1", "lat")
+    cross = f"(({xj} - {xi}) * ({ty} - {yi}) / ({yj} - {yi}) + {xi})"
+    hit = (f"(case when (({yi} > {ty}) != ({yj} > {ty})) "
+           f"and ({tx} < {cross}) then 1 else 0 end)")
+    return (f"((aggregate(sequence(1, size({ring}) - 1), 0, "
+            f"(acc, i) -> acc + {hit}) % 2) = 1)")

@@ -52,6 +52,9 @@ class PipelineResult:
     # touching both types should read this ONE DataFrame so the
     # upstream decode+J1 subtree is traversed once, not per branch
     way_features: DataFrame | None = None
+    # precomputed spatial-index side tables (points_cells, poly_cover)
+    # when reading a written layout — see sinks.write_spatial_index
+    spatial_index: dict = field(default_factory=dict)
 
 
 def run_pipeline(spark: SparkSession, docs_path: str | None = None,

@@ -245,8 +245,77 @@ def write_sorted_tiles(df: DataFrame, out_path: str) -> None:
                 .sortWithinPartitions("tile", "id"), out_path)
 
 
-def write_feature_tables(res, out_dir: str, media: DataFrame | None = None
-                         ) -> dict[str, str]:
+SPATIAL_COVER_DEPTH = 10  # pip/raster cover cells
+SPATIAL_POINT_DEPTHS = (10, 8)  # cell10 (pip), cell8 (knn targets)
+
+
+def write_spatial_index(res, out_dir: str,
+                        media: DataFrame | None = None) -> dict[str, str]:
+    """Precompute the spatial-index side tables at layout-write time
+    (round-4 verdict Next #5 — pip_join spent most of its 2.75 s
+    recomputing the adaptive polygon cover and point cells per query):
+
+    - ``poly_cover``: (polygon_id, lonlats, cell) — the simple
+      polygons' adaptive covering cells (depth-encoded values,
+      <= MAX_COVER per feature), exploded so queries scan it directly;
+    - ``points_cells``: (point_id, lon, lat, cell10, cell8) — fixed-
+      depth quadtree cells via PURE SQL (sql_point_qt, JVM codegen) —
+      plus one ``n{d}`` count column per depth the cover actually
+      used, so the pip join's per-cell point counts (its bucket-size
+      bound) are a stored lookup instead of an extra agg + join;
+    - ``spatial_index_meta.json``: the cover's used depth list, read
+      driver-side so queries skip the depth-discovery collect job;
+    - media gains a ``tile_cell`` column (z/x/y -> quadtree value).
+
+    The side tables are SEPARATE parquet tables so the main feature
+    tables' schemas (and every oracle-compared query over them) are
+    untouched.  Same role as the reference's calcqts prepass: pay the
+    index once per dataset, serve every query from it."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from .kernels.quadtree import sql_point_qt, sql_qt_depth, sql_round_qt
+    from .spatial.joins import _BBOX, adaptive_cover_udf
+    from .tableio import write_table
+
+    out = {}
+    cover = (res.simple_polygons
+             .select(F.col("id").alias("polygon_id"), "lonlats",
+                     *[F.expr(v).alias(k) for k, v in _BBOX.items()])
+             .withColumn("cell", F.explode(
+                 adaptive_cover_udf(SPATIAL_COVER_DEPTH)(
+                     "minlon", "minlat", "maxlon", "maxlat")))
+             .select("polygon_id", "lonlats", "cell"))
+    p = os.path.join(out_dir, "poly_cover")
+    write_table(cover, p)
+    out["poly_cover"] = p
+    # bounded metadata collect (<= len(cover_menu) rows), paid ONCE
+    # per dataset here instead of per query
+    spark = res.points.sparkSession
+    used = sorted(r.d for r in spark.read.parquet(p).select(
+        F.expr(sql_qt_depth("cell")).alias("d")).distinct().collect())
+    with open(os.path.join(out_dir, "spatial_index_meta.json"), "w") as f:
+        json.dump({"cover_depths": used,
+                   "cover_depth": SPATIAL_COVER_DEPTH}, f)
+
+    base = f"cell{SPATIAL_POINT_DEPTHS[0]}"
+    pts = res.points.select(
+        F.col("id").alias("point_id"), "lon", "lat",
+        *[F.expr(sql_point_qt("lon", "lat", d)).alias(f"cell{d}")
+          for d in SPATIAL_POINT_DEPTHS])
+    for d in used:
+        w = Window.partitionBy(F.expr(sql_round_qt(base, str(d))))
+        pts = pts.withColumn(f"n{d}", F.count("*").over(w))
+    p = os.path.join(out_dir, "points_cells")
+    write_table(pts.repartitionByRange(base, "point_id"), p)
+    out["points_cells"] = p
+    return out
+
+
+def write_feature_tables(res, out_dir: str, media: DataFrame | None = None,
+                         spatial_index: bool = True) -> dict[str, str]:
     """Materialize the pipeline's output feature tables as tile-sorted
     parquet — the engine's analogue of the reference WRITING its
     geometry file once and serving every later query from it with
@@ -256,9 +325,12 @@ def write_feature_tables(res, out_dir: str, media: DataFrame | None = None
 
     Written: ``points``, ``way_features`` (the fused line+polygon
     table — per-type views are cheap filters at read time),
-    ``complicated_polygons``, ``errors``, and optionally ``media``.
-    Tile-keyed tables go through :func:`write_sorted_tiles` so tile
-    IN-list queries prune row groups via min/max stats.
+    ``complicated_polygons``, ``errors``, and optionally ``media``
+    (which gains a precomputed ``tile_cell`` column).  With
+    ``spatial_index`` (default) the :func:`write_spatial_index` side
+    tables are written too.  Tile-keyed tables go through
+    :func:`write_sorted_tiles` so tile IN-list queries prune row
+    groups via min/max stats.
 
     Returns {table name: path}.  Read back with
     :func:`osmquadtree_geometry_spark.sources.read_feature_tables`.
@@ -275,6 +347,10 @@ def write_feature_tables(res, out_dir: str, media: DataFrame | None = None
         tables["linestrings"] = res.linestrings
         tables["simple_polygons"] = res.simple_polygons
     if media is not None:
+        if spatial_index and {"z", "x", "y"} <= set(media.columns):
+            from .spatial.joins import tile_cell_udf
+            media = media.withColumn("tile_cell",
+                                     tile_cell_udf("z", "x", "y"))
         tables["media"] = media
     out = {}
     for name, df in tables.items():
@@ -291,6 +367,8 @@ def write_feature_tables(res, out_dir: str, media: DataFrame | None = None
             from .tableio import write_table
             write_table(df, path)
         out[name] = path
+    if spatial_index:
+        out.update(write_spatial_index(res, out_dir))
     return out
 
 

@@ -119,12 +119,19 @@ def read_feature_tables(spark: SparkSession, out_dir: str):
     else:
         lines, spolys = rd("linestrings"), rd("simple_polygons")
     media = rd("media")
+    spatial = {name: t for name in ("points_cells", "poly_cover")
+               if (t := rd(name)) is not None}
+    meta_path = os.path.join(out_dir, "spatial_index_meta.json")
+    if os.path.exists(meta_path):
+        import json
+        with open(meta_path) as fh:
+            spatial["meta"] = json.load(fh)
     return PipelineResult(
         points=rd("points"), linestrings=lines, simple_polygons=spolys,
         complicated_polygons=rd("complicated_polygons"),
         errors=rd("errors"),
         decoded={"media": media} if media is not None else {},
-        way_features=wf)
+        way_features=wf, spatial_index=spatial)
 
 
 def read_geometry(spark: SparkSession, path: str,

@@ -179,6 +179,30 @@ def test_ivf_ann_recall_and_plan(spark, emb):
     assert "Window" not in cplan
 
 
+def test_ivf_trained_centroids(spark, emb):
+    """Deterministic sampled-Lloyd's k-means (round-4 verdict Next #6):
+    bit-reproducible centroids, pluggable into ivf_topk, recall at
+    least as usable as the seeded quantizer's floor."""
+    from osmquadtree_geometry_spark.similarity import (
+        brute_force_topk, ivf_topk, train_centroids_kmeans)
+    c1 = train_centroids_kmeans(emb, n_lists=16, n_iters=5,
+                                max_sample=512, seed=7)
+    c2 = train_centroids_kmeans(emb, n_lists=16, n_iters=5,
+                                max_sample=512, seed=7)
+    r1 = sorted(map(tuple, c1.collect()))
+    r2 = sorted(map(tuple, c2.collect()))
+    assert r1 == r2 and len(r1) == 16  # deterministic
+    q = _queries(spark, emb, n=5)
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    approx_df = ivf_topk(emb, q, k=5, n_lists=16, n_probe=8, centroids=c1)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = {(r.query_id, r.vec_id) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"trained-IVF recall too low: {recall}"
+
+
 def test_lsh_ann_recall(spark, emb):
     from osmquadtree_geometry_spark.similarity import brute_force_topk, lsh_ann_topk
     q = _queries(spark, emb, n=5)

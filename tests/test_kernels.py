@@ -108,6 +108,12 @@ def test_sql_point_qt_matches_numpy_duckdb():
     con.register("t", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
     got = con.sql(f"select {expr} as q from t").df()["q"].to_numpy()
     assert (got == expected).all()
+    # fixed depths used by the stored spatial index (points_cells)
+    for d in (8, 10):
+        expected_d = qt.calculate_point(lon, lat, d)
+        got_d = con.sql(f"select {qt.sql_point_qt('lon', 'lat', d)} as q "
+                        "from t").df()["q"].to_numpy()
+        assert (got_d == expected_d).all(), d
 
 
 def test_sql_round_qt_matches_numpy_duckdb():

@@ -190,3 +190,54 @@ def test_embedding_lsh_bucket_cap(spark):
     # without the cap the identical-vector family alone yields
     # 60*59/2 = 1770 pairs; with it the mega bucket contributes none
     assert capped.count() < 100
+
+
+def test_precomputed_spatial_index_parity(spark, geo, tmp_path):
+    """The stored spatial-index side tables (sinks.write_spatial_index)
+    must make pip/knn/raster return EXACTLY what the compute-at-query
+    path returns (round-4 verdict Next #5)."""
+    from types import SimpleNamespace
+
+    from osmquadtree_geometry_spark import sinks
+    from osmquadtree_geometry_spark.tableio import read_table
+
+    res = SimpleNamespace(points=geo["points"],
+                          simple_polygons=geo["polys"])
+    paths = sinks.write_spatial_index(res, str(tmp_path))
+    pc = read_table(spark, paths["points_cells"])
+    cover = read_table(spark, paths["poly_cover"])
+    assert {"point_id", "lon", "lat", "cell10", "cell8"} <= set(pc.columns)
+
+    base = {(r.point_id, r.polygon_id) for r in joins.point_in_polygon_join(
+        geo["points"], geo["polys"], cell_depth=10).collect()}
+    for engine in ("sql", "packed"):
+        idx = {(r.point_id, r.polygon_id)
+               for r in joins.point_in_polygon_join(
+                   geo["points"], geo["polys"], cell_depth=10,
+                   poly_cover=cover, point_cells=pc,
+                   engine=engine).collect()}
+        assert idx == base and base, engine
+    packed_live = {(r.point_id, r.polygon_id)
+                   for r in joins.point_in_polygon_join(
+                       geo["points"], geo["polys"], cell_depth=10,
+                       engine="packed").collect()}
+    assert packed_live == base
+
+    knn_base = sorted((r.query_id, r.target_id, round(r.dist, 2))
+                      for r in joins.knn_join(
+                          geo["points"], geo["points"], k=3,
+                          cell_depth=8, max_rings=2).collect())
+    knn_idx = sorted((r.query_id, r.target_id, round(r.dist, 2))
+                     for r in joins.knn_join(
+                         geo["points"], geo["points"], k=3,
+                         cell_depth=8, max_rings=2,
+                         target_cells=pc).collect())
+    assert knn_idx == knn_base and knn_base
+
+    media_idx = geo["media"].withColumn(
+        "tile_cell", joins.tile_cell_udf("z", "x", "y"))
+    rv_base = {tuple(r) for r in joins.raster_vector_join(
+        geo["media"], geo["points"]).collect()}
+    rv_idx = {tuple(r) for r in joins.raster_vector_join(
+        media_idx, geo["points"]).collect()}
+    assert rv_idx == rv_base and rv_base
