@@ -22,6 +22,15 @@ state machine keyed on tile order).  Batch rebuild:
 
 Output quadtree = ``calculate(bounds, 18, 0.0)`` over the exterior
 bbox, matching MakeGeometries' recalc (`process_geometry.rs:306-309`).
+
+Measured mega-relation envelope (scripts/mega_relation_probe.py):
+10⁴ member ways -> 17 MB peak task memory; 10⁵ ways (a 400k-point
+coastline ring) -> 549 MiB peak task memory, 23 s wall at local[32],
+digest parity with the DuckDB oracle (BENCH/ROUND5.md §3).  Peak
+memory sits in the phase-3 assembly task (all N_SALT partials + the
+merged ring buffers of ONE relation), so it grows ~linearly with
+member count; a 10⁶-way pathology needs executors with multi-GB task
+headroom or N_SALT raised with it.
 """
 
 from __future__ import annotations

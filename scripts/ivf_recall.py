@@ -12,6 +12,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
 from osmquadtree_geometry_spark.session import get_spark  # noqa: E402
 from osmquadtree_geometry_spark.similarity import (  # noqa: E402
     brute_force_topk, ivf_topk, train_centroids_kmeans)
@@ -25,7 +26,10 @@ def main():
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
     n_lists = max(16, int(n ** 0.5))
-    q = (emb.orderBy("vec_id").limit(n_q)
+    # query set DISJOINT from the seeded-centroid range (the seed
+    # quantizer takes the smallest vec_ids; evaluating on those same
+    # ids lets every query probe "its own" list first — a biased win)
+    q = (emb.orderBy(F.desc("vec_id")).limit(n_q)
          .selectExpr("vec_id as query_id", "embedding as qe"))
     exact = {}
     for r in brute_force_topk(emb, q, k=k).collect():
@@ -34,6 +38,34 @@ def main():
     out = {"sf_dir": sf_dir, "n_vectors": n, "k": k,
            "n_queries": n_q, "n_lists": n_lists}
     trained = train_centroids_kmeans(emb, n_lists=n_lists, n_iters=10)
+
+    def scanned_fraction(cent, n_probe):
+        """Mean fraction of the corpus a query's probed lists hold —
+        the ANN selectivity that recall must be judged against (an
+        unbalanced quantizer 'wins' recall by scanning more)."""
+        from osmquadtree_geometry_spark.similarity import seed_centroids
+        from pyspark.sql import functions as F
+        c = cent if cent is not None else seed_centroids(emb, n_lists)
+        from osmquadtree_geometry_spark.similarity import ivf_topk as _  # noqa
+        # re-derive assignment + probes exactly as ivf_topk does
+        import osmquadtree_geometry_spark.similarity as S
+        d = (emb.crossJoin(F.broadcast(c))
+             .withColumn("l2", F.expr(S._L2 % ("embedding", "centroid"))))
+        assigned = (d.groupBy("vec_id")
+                    .agg(F.min(F.struct("l2", "list_id")).alias("m"))
+                    .select("vec_id", F.col("m.list_id").alias("list_id")))
+        sizes = assigned.groupBy("list_id").count()
+        dq = (q.crossJoin(F.broadcast(c))
+              .withColumn("l2", F.expr(S._L2 % ("qe", "centroid"))))
+        from pyspark.sql import Window as W
+        w = W.partitionBy("query_id").orderBy("l2", "list_id")
+        probes = (dq.withColumn("pr", F.row_number().over(w))
+                  .where(F.col("pr") <= n_probe)
+                  .select("query_id", "list_id"))
+        tot = (probes.join(sizes, "list_id")
+               .groupBy().agg(F.sum("count").alias("s")).collect()[0].s)
+        return tot / (n * n_q)
+
     for n_probe in (2, 4, 8):
         for name, cent in (("seeded", None), ("trained", trained)):
             t0 = time.monotonic()
@@ -48,6 +80,8 @@ def main():
             out[f"recall@{k}_{name}_probe{n_probe}"] = round(hits / total, 4)
             out[f"sec_{name}_probe{n_probe}"] = round(
                 time.monotonic() - t0, 2)
+            out[f"scanned_{name}_probe{n_probe}"] = round(
+                scanned_fraction(cent, n_probe), 4)
     print(json.dumps(out))
 
 

@@ -149,7 +149,7 @@ def test_pip_join_bounded_cell_agg(spark):
         "named_struct('lon', -10, 'lat', 100000), "
         "named_struct('lon', -10, 'lat', -10)) as lonlats")
     j = point_in_polygon_join(pts, polys, cell_depth=10,
-                              max_points_per_row=256)
+                              max_points_per_row=256, engine="packed")
     plan = _plan(j)
     # the pack agg is bucket-keyed (bounded), and the kernel is the
     # plan's last stage (no distinct/agg above the pair stream)
@@ -160,6 +160,16 @@ def test_pip_join_bounded_cell_agg(spark):
     # empirically: ALL 5000 co-located points are inside every polygon,
     # yet no packed row exceeded the cap by more than hash skew
     assert j.count() == 5000 * 5
+    # the default SQL engine streams pairs through ONE equi-join with
+    # the ray-cast fold inside the join stage: no pack shuffle, no
+    # pandas stage, no nested-loop join anywhere
+    js = point_in_polygon_join(pts, polys, cell_depth=10)
+    plan_s = _plan(js)
+    assert "MapInPandas" not in plan_s
+    assert "CartesianProduct" not in plan_s
+    assert "BroadcastNestedLoopJoin" not in plan_s
+    assert "collect_list" not in plan_s
+    assert js.count() == 5000 * 5
 
 
 def test_lsh_pair_generators_no_cartesian(spark):
