@@ -53,6 +53,13 @@ def main() -> None:
                     help="PostgreSQL connection string for "
                          "--output postgres (URL or libpq keywords; "
                          "reference -c connstr)")
+    ap.add_argument("--pg-delivery", default="fast",
+                    choices=["fast", "exactly_once"],
+                    help="COPY delivery mode: 'fast' (reference parity, "
+                         "at-least-once under task retries) or "
+                         "'exactly_once' (staging + ledger-gated "
+                         "transactional promote keyed on the input "
+                         "fingerprint)")
     ap.add_argument("--filter", default=None,
                     help="bbox 'minlon,minlat,maxlon,maxlat' in degrees, "
                          "OR a path to an osmosis .poly file "
@@ -155,7 +162,11 @@ def main() -> None:
         from osmquadtree_geometry_spark.sinks import write_postgresql
         if not args.pg_dsn:
             raise SystemExit("--output postgres requires --pg-dsn")
-        delivered = write_postgresql(res, args.pg_dsn, style=style)
+        from osmquadtree_geometry_spark.lineage import fingerprint_input
+        fp = fingerprint_input(args.docs) if args.docs else "run"
+        delivered = write_postgresql(
+            res, args.pg_dsn, style=style,
+            delivery_mode=args.pg_delivery, fingerprint=fp)
         print(json.dumps({"pg_tables": delivered["tables"],
                           "pg_rows": delivered["rows"],
                           "pg_after_errors": len(delivered["after_errors"])}))
