@@ -296,6 +296,27 @@ _STG_TYPES = {"int8": "bigint", "float8": "double precision",
               "hstore": "hstore"}
 
 
+def sweep_staging(dsn: str, table: str, schema: str = "public") -> list[str]:
+    """Drop staging tables orphaned by crashed exactly-once attempts
+    (a task that died after CREATE/COPY but before its promote-or-drop
+    reached the server).  Orphans are inert — never promoted — so the
+    sweep is pure hygiene and safe to run any time AFTER the delivery
+    job finished (running it concurrently would race live attempts).
+    Returns the dropped table names."""
+    from .pgwire import PgConnection
+
+    prefix = f"{table}__stg_"
+    dropped = []
+    with PgConnection(dsn) as conn:
+        _tag, rows = conn.execute(
+            "SELECT tablename FROM pg_tables WHERE schemaname = "
+            f"'{schema}' AND tablename LIKE '{prefix}%'")
+        for (name,) in rows:
+            conn.execute(f"DROP TABLE {schema}.{name}")
+            dropped.append(name)
+    return dropped
+
+
 def stream_to_postgres(sdf: DataFrame, dsn: str, table: str,
                        columns: list[tuple[str, str]] | None = None,
                        schema: str = "public",

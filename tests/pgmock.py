@@ -186,9 +186,27 @@ class MockPg(threading.Thread):
             elif self._exactly_once_stmt(conn, sql, txn):
                 pass  # handled (ledger insert / promote / drop staging)
             elif up.startswith("SELECT"):
-                # one fixed row so execute() row parsing is covered
+                import re as _re
+                m = _re.search(r"FROM pg_tables WHERE schemaname = "
+                               r"'(\S+)' AND tablename LIKE '([^%]+)%'", sql)
                 rowdesc = (struct.pack(">h", 1) + b"mock\x00" +
                            struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
+                if m:
+                    # emulate the staging-sweep catalog query: list the
+                    # staged COPY payload tables under the prefix
+                    with self._lock:
+                        names = sorted(
+                            k.split(".", 1)[1] for k in self.copies
+                            if k.startswith(f"{m.group(1)}.{m.group(2)}"))
+                    rows = b"".join(
+                        _msg(b"D", struct.pack(">h", 1)
+                             + struct.pack(">i", len(n)) + n.encode())
+                        for n in names)
+                    conn.sendall(_msg(b"T", rowdesc) + rows +
+                                 _msg(b"C", f"SELECT {len(names)}\x00"
+                                      .encode()) + _msg(b"Z", b"I"))
+                    continue
+                # one fixed row so execute() row parsing is covered
                 datarow = struct.pack(">h", 1) + struct.pack(">i", 2) + b"42"
                 conn.sendall(_msg(b"T", rowdesc) + _msg(b"D", datarow) +
                              _msg(b"C", b"SELECT 1\x00") + _msg(b"Z", b"I"))

@@ -308,3 +308,19 @@ def test_write_postgresql_exactly_once_mode(spark):
                                       delivery_mode="exactly_once",
                                       fingerprint="fpA")
         assert sum(out2["rows"].values()) == 4
+
+
+def test_sweep_staging_drops_orphans():
+    """Orphaned exactly-once staging tables (crash after COPY, before
+    promote-or-drop) are inert; sweep_staging drops them by catalog
+    prefix and leaves the target + other tables alone."""
+    from osmquadtree_geometry_spark import pgcopy
+    with MockPg(auth="trust") as srv:
+        # plant two orphans + unrelated tables server-side
+        srv.copies["public.t__stg_fp1_p0_a7"] = b"x"
+        srv.copies["public.t__stg_fp1_p2_a9"] = b"y"
+        srv.copies["public.t"] = b"target"
+        srv.copies["public.other__stg_fp_p0_a1"] = b"z"
+        dropped = pgcopy.sweep_staging(srv.dsn(), "t")
+        assert dropped == ["t__stg_fp1_p0_a7", "t__stg_fp1_p2_a9"]
+        assert set(srv.copies) == {"public.t", "public.other__stg_fp_p0_a1"}
