@@ -233,8 +233,12 @@ def deliver_pgcopy_exactly_once(df: DataFrame, dsn: str, table: str,
     them again.  The target table must already exist (write_postgresql
     before-DDL, or caller DDL).  Staging tables orphaned by a crash
     after COPY but before promote-or-drop are inert (never promoted);
-    sweep them by the ``{table}__stg_`` name prefix.  Returns rows
-    promoted BY THIS RUN (already-delivered partitions add 0).
+    sweep them by the ``{table}__stg_`` name prefix (or call
+    :func:`sweep_staging` after the job).  Returns rows promoted BY
+    THIS RUN (already-delivered partitions add 0); note the count is
+    accumulator-based, so a task that crashes AFTER its promote
+    committed reports its rows only via the retry's ledger row, not
+    the return value — the ledger is the authoritative record.
     """
     from .pgwire import PgConnection
 
