@@ -13,9 +13,13 @@ nothing but the Python stdlib.
 
 Auth support: trust, cleartext password, MD5, and SCRAM-SHA-256
 (RFC 5802/7677, channel-binding disabled) — the default for modern
-PostgreSQL.  TLS is not implemented (sslmode=disable semantics);
-point it at a local socket-forwarder/pgbouncer if the wire must be
-encrypted.
+PostgreSQL.  TLS follows libpq's sslmode semantics via the stdlib
+``ssl`` module: ``disable`` (default), ``prefer`` (try TLS, fall
+back to plaintext if the server refuses), ``require`` (encrypt, no
+certificate verification — libpq parity), ``verify-ca`` (verify the
+chain against ``sslrootcert``), ``verify-full`` (chain + hostname).
+The SSLRequest dance (8-byte 80877103 probe before startup) is the
+one documented in the protocol spec §"SSL Session Encryption".
 
 Scale shape: the driver runs the before/after DDL on ONE connection;
 each executor partition opens ITS OWN connection and streams its COPY
@@ -31,11 +35,14 @@ import hashlib
 import hmac
 import os
 import socket
+import ssl
 import struct
-from urllib.parse import urlparse, unquote
+from urllib.parse import urlparse, unquote, parse_qs
 
 PROTOCOL_V3 = 196608
+SSL_REQUEST_CODE = 80877103  # protocol spec: SSLRequest magic
 _BUF = 65536
+_SSLMODES = ("disable", "prefer", "require", "verify-ca", "verify-full")
 
 
 class PgError(RuntimeError):
@@ -52,7 +59,8 @@ def parse_dsn(dsn: str) -> dict:
     """Accept both URL (``postgresql://user:pw@host:port/db``) and
     libpq keyword (``host=... dbname=...``) connection strings."""
     out = {"host": "127.0.0.1", "port": 5432, "user": "postgres",
-           "password": None, "dbname": "postgres"}
+           "password": None, "dbname": "postgres",
+           "sslmode": "disable", "sslrootcert": None}
     if dsn.startswith(("postgresql://", "postgres://")):
         u = urlparse(dsn)
         if u.hostname:
@@ -66,15 +74,20 @@ def parse_dsn(dsn: str) -> dict:
         path = (u.path or "").lstrip("/")
         if path:
             out["dbname"] = unquote(path)
-        return out
-    for tok in dsn.split():
-        if "=" not in tok:
-            raise ValueError(f"bad dsn token {tok!r}")
-        k, v = tok.split("=", 1)
-        k = {"database": "dbname"}.get(k, k)
-        if k in out:
-            out[k] = int(v) if k == "port" else v
-        # unknown keywords (sslmode, connect_timeout, ...) are ignored
+        for k, vs in parse_qs(u.query).items():
+            if k in ("sslmode", "sslrootcert"):
+                out[k] = vs[-1]
+    else:
+        for tok in dsn.split():
+            if "=" not in tok:
+                raise ValueError(f"bad dsn token {tok!r}")
+            k, v = tok.split("=", 1)
+            k = {"database": "dbname"}.get(k, k)
+            if k in out:
+                out[k] = int(v) if k == "port" else v
+            # other keywords (connect_timeout, ...) are ignored
+    if out["sslmode"] not in _SSLMODES:
+        raise ValueError(f"unsupported sslmode {out['sslmode']!r}")
     return out
 
 
@@ -117,7 +130,44 @@ class PgConnection:
         self._sock = socket.create_connection((p["host"], p["port"]),
                                               timeout=timeout)
         self._rbuf = b""
+        self.tls = False
+        if p["sslmode"] != "disable":
+            self._negotiate_tls()
         self._startup()
+
+    def _negotiate_tls(self) -> None:
+        """SSLRequest probe then stdlib TLS wrap, libpq sslmode
+        semantics (protocol spec §"SSL Session Encryption": client
+        sends the 8-byte 80877103 request BEFORE startup; server
+        answers one byte 'S' = proceed with handshake, 'N' = no
+        TLS here)."""
+        p = self._params
+        mode = p["sslmode"]
+        self._send(struct.pack(">ii", 8, SSL_REQUEST_CODE))
+        answer = self._sock.recv(1)
+        if answer != b"S":
+            if mode == "prefer":
+                return  # plaintext fallback, exactly libpq's behavior
+            raise PgError({"M": f"server refused TLS (got {answer!r}) "
+                                f"but sslmode={mode}"})
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        if mode in ("verify-ca", "verify-full"):
+            if not p["sslrootcert"]:
+                raise PgError({"M": f"sslmode={mode} needs sslrootcert"})
+            ctx.load_verify_locations(cafile=p["sslrootcert"])
+            ctx.verify_mode = ssl.CERT_REQUIRED
+            ctx.check_hostname = mode == "verify-full"
+        else:
+            # require/prefer: encryption without verification —
+            # libpq's documented behavior when no root cert is given
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        try:
+            self._sock = ctx.wrap_socket(self._sock,
+                                         server_hostname=p["host"])
+        except ssl.SSLError as e:
+            raise PgError({"M": f"TLS handshake failed: {e}"}) from e
+        self.tls = True
 
     # -- wire primitives ------------------------------------------------
 

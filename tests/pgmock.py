@@ -42,11 +42,20 @@ class MockPg(threading.Thread):
 
     def __init__(self, auth: str = "trust", user: str = "osm",
                  password: str = "secret", fail_sql_containing: str = "boom",
-                 fail_copy_once_containing: str = ""):
+                 fail_copy_once_containing: str = "",
+                 tls_cert: str = "", tls_key: str = ""):
         super().__init__(daemon=True)
         self.auth = auth
         self.user = user
         self.password = password
+        # TLS: when a cert/key pair is given, answer the SSLRequest
+        # probe with 'S' and wrap the connection; otherwise 'N'
+        self._tls_ctx = None
+        if tls_cert:
+            import ssl
+            self._tls_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._tls_ctx.load_cert_chain(tls_cert, tls_key or None)
+        self.tls_sessions = 0
         self.fail_marker = fail_sql_containing
         # kill the FIRST COPY whose target contains this marker
         # mid-stream (after data has arrived), like a server crash /
@@ -124,14 +133,26 @@ class MockPg(threading.Thread):
 
     def _handle(self, conn: socket.socket) -> None:
         try:
-            self._session(conn, self._Reader(conn))
+            rd = self._Reader(conn)
+            (ln, proto) = struct.unpack(">ii", rd.exact(8))
+            if proto == 80877103:  # SSLRequest probe precedes startup
+                if self._tls_ctx is None:
+                    conn.sendall(b"N")
+                else:
+                    conn.sendall(b"S")
+                    conn = self._tls_ctx.wrap_socket(conn,
+                                                     server_side=True)
+                    with self._lock:
+                        self.tls_sessions += 1
+                    rd = self._Reader(conn)
+                (ln, proto) = struct.unpack(">ii", rd.exact(8))
+            self._session(conn, rd, ln, proto)
         except (ConnectionError, OSError):
             pass
         finally:
             conn.close()
 
-    def _session(self, conn, rd) -> None:
-        (ln, proto) = struct.unpack(">ii", rd.exact(8))
+    def _session(self, conn, rd, ln, proto) -> None:
         body = rd.exact(ln - 8)
         assert proto == 196608, f"unexpected protocol {proto}"
         toks = [t.decode() for t in body.split(b"\x00") if t]
