@@ -91,6 +91,27 @@ def _tags_for(spans: DataFrame, elem: str,
             .where(F.size("tags") > 0))
 
 
+def _tag_rows(spans: DataFrame, elem: str) -> DataFrame:
+    """(id, k, v) tag rows for ONE element kind — the union leg the
+    fused per-entity groupBys consume (round-6: one shuffle per entity
+    instead of the shared tag groupBy + three map joins)."""
+    return (spans.where(F.col("kind") == "tag")
+            .select(F.expr(_field(1)).alias("elem"),
+                    F.expr(f"try_cast({_field(2)} as bigint)").alias("id"),
+                    F.expr(_field(3)).alias("k"),
+                    F.expr("substring(text, locate(';v=', text) + 3)").alias("v"))
+            .where(F.col("id").isNotNull() & (F.col("elem") == elem))
+            .drop("elem"))
+
+
+# the sorted-entries map aggregate shared by every fused decode:
+# identical formula to decode_tags' m() (duplicate keys resolve
+# LAST_WIN over the (k, v)-sorted entries)
+def _tags_agg():
+    return F.map_from_entries(F.array_sort(F.collect_list(
+        F.when(F.col("k").isNotNull(), F.struct("k", "v")))))
+
+
 def decode_node_locations(spans: DataFrame) -> DataFrame:
     """(lon, lat, quadtree) ONLY — the minimal projection for
     consumers that need node cells but no tags/info (e.g. the tile
@@ -109,11 +130,23 @@ def decode_node_locations(spans: DataFrame) -> DataFrame:
     return with_point_qt(n, "lon", "lat")
 
 
+_NROW_T = ("struct<doc_id:string,lon:int,lat:int,version:int,"
+           "timestamp:bigint>")
+
+
 def decode_nodes(spans: DataFrame,
                  tags_all: DataFrame | None = None) -> DataFrame:
     """nodes(doc_id, id, lon, lat, tags, quadtree) — quadtree is the
     z18 point cell (`Quadtree::calculate_point`), computed with the
-    pure-SQL kernel so it stays inside whole-stage codegen."""
+    pure-SQL kernel so it stays inside whole-stage codegen.
+
+    FUSED shape (round-6, guide §2.4): node spans and node-tag rows
+    union into ONE id-keyed groupBy that assembles the tag map next to
+    the node fields — the former shared tag groupBy + left map-join
+    cost two exchanges on this path; the fused one costs one and
+    shuffles each tag row exactly once.  Multiplicity is preserved for
+    duplicate-id node spans by collecting the span structs and
+    re-exploding (same rows the join produced)."""
     n = (spans.where(F.col("kind") == "node")
          .select("doc_id",
                  F.expr(f"try_cast({_field(1)} as bigint)").alias("id"),
@@ -127,9 +160,24 @@ def decode_nodes(spans: DataFrame,
          # a null-id node with a spurious quadtree
          .where(F.col("id").isNotNull() & F.col("lon").isNotNull()
                 & F.col("lat").isNotNull()))
-    tags = _tags_for(spans, "node", tags_all)
-    out = (n.join(tags, ["id"], "left")
-           .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
+    u = (n.select(
+            "id",
+            F.struct("doc_id", "lon", "lat", "version", "timestamp")
+            .alias("nrow"),
+            F.lit(None).cast("string").alias("k"),
+            F.lit(None).cast("string").alias("v"))
+         .unionByName(_tag_rows(spans, "node").select(
+             "id", F.lit(None).cast(_NROW_T).alias("nrow"), "k", "v")))
+    g = (u.groupBy("id")
+         .agg(F.collect_list("nrow").alias("__nrows"),
+              _tags_agg().alias("tags")))
+    out = (g.where(F.size("__nrows") > 0)
+           .select("id", F.explode("__nrows").alias("__n"), "tags")
+           .select("id", F.col("__n.doc_id").alias("doc_id"),
+                   F.col("__n.lon").alias("lon"),
+                   F.col("__n.lat").alias("lat"),
+                   F.col("__n.version").alias("version"),
+                   F.col("__n.timestamp").alias("timestamp"), "tags"))
     return with_point_qt(out, "lon", "lat")
 
 
@@ -143,14 +191,24 @@ def decode_ways(spans: DataFrame,
                  F.expr(f"try_cast({_field(3)} as bigint)").alias("ref"))
          .where(F.col("id").isNotNull() & F.col("pos").isNotNull()
                 & F.col("ref").isNotNull()))
-    refs = (w.groupBy("id")
-            .agg(F.first("doc_id").alias("doc_id"),
-                 F.transform(
-                     F.array_sort(F.collect_list(F.struct("pos", "ref"))),
-                     lambda x: x["ref"]).alias("refs")))
-    tags = _tags_for(spans, "way", tags_all)
-    return (refs.join(tags, ["id"], "left")
-            .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
+    # fused tag attachment (round-6): ref rows + way-tag rows in ONE
+    # id-keyed groupBy — collect_list skips the tag legs' null structs,
+    # the map agg skips the ref legs' null keys
+    u = (w.select("id", "doc_id", F.struct("pos", "ref").alias("pr"),
+                  F.lit(None).cast("string").alias("k"),
+                  F.lit(None).cast("string").alias("v"))
+         .unionByName(_tag_rows(spans, "way").select(
+             "id", F.lit(None).cast("string").alias("doc_id"),
+             F.lit(None).cast("struct<pos:int,ref:bigint>").alias("pr"),
+             "k", "v")))
+    g = (u.groupBy("id")
+         .agg(F.first("doc_id", ignorenulls=True).alias("doc_id"),
+              F.transform(F.array_sort(F.collect_list("pr")),
+                          lambda x: x["ref"]).alias("refs"),
+              _tags_agg().alias("tags")))
+    # ids seen only via tags (no parsable ref row) never existed in the
+    # old refs table — keep it that way
+    return g.where(F.size("refs") > 0)
 
 
 def decode_relations(spans: DataFrame,
@@ -163,17 +221,26 @@ def decode_relations(spans: DataFrame,
                  F.expr(_field(3)).alias("mem_type"),
                  F.expr(f"try_cast({_field(4)} as bigint)").alias("mem_ref"),
                  F.expr(_field(5)).alias("role")))
-    members = (r.groupBy("id")
-               .agg(F.first("doc_id").alias("doc_id"),
-                    F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct("pos", "mem_type", "mem_ref", "role"))),
-                   lambda x: F.struct(x["mem_type"].alias("mem_type"),
-                                      x["mem_ref"].alias("mem_ref"),
-                                      x["role"].alias("role"))).alias("members")))
-    tags = _tags_for(spans, "rel", tags_all)
-    return (members.join(tags, ["id"], "left")
-            .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
+    # fused tag attachment (round-6) — same shape as decode_ways; the
+    # old left join on a null id matched nothing, and here a null-id
+    # group likewise collects no tag rows (_tag_rows filters null ids)
+    mt = "struct<pos:int,mem_type:string,mem_ref:bigint,role:string>"
+    u = (r.select("id", "doc_id",
+                  F.struct("pos", "mem_type", "mem_ref", "role").alias("mr"),
+                  F.lit(None).cast("string").alias("k"),
+                  F.lit(None).cast("string").alias("v"))
+         .unionByName(_tag_rows(spans, "rel").select(
+             "id", F.lit(None).cast("string").alias("doc_id"),
+             F.lit(None).cast(mt).alias("mr"), "k", "v")))
+    g = (u.groupBy("id")
+         .agg(F.first("doc_id", ignorenulls=True).alias("doc_id"),
+              F.transform(
+                  F.array_sort(F.collect_list("mr")),
+                  lambda x: F.struct(x["mem_type"].alias("mem_type"),
+                                     x["mem_ref"].alias("mem_ref"),
+                                     x["role"].alias("role"))).alias("members"),
+              _tags_agg().alias("tags")))
+    return g.where(F.size("members") > 0)
 
 
 def decode_media(spans: DataFrame) -> DataFrame:

@@ -316,16 +316,68 @@ def sql_qt_xyz(qt_col: str, d: str | None = None,
 # (validated in tests against the numpy kernel).
 # ---------------------------------------------------------------------------
 
+_SPREAD_MASKS = (
+    (16, 281470681808895),      # 0x0000FFFF0000FFFF
+    (8, 71777214294589695),     # 0x00FF00FF00FF00FF
+    (4, 1085102592571150095),   # 0x0F0F0F0F0F0F0F0F
+    (2, 3689348814741910323),   # 0x3333333333333333
+    (1, 6148914691236517205),   # 0x5555555555555555
+)
+
+
 def _sql_spread_bits(col: str) -> str:
     """Spread an 18-bit int so its bits occupy even positions
-    (classic morton bit-twiddle, 64-bit masks)."""
+    (classic morton bit-twiddle, 64-bit masks).
+
+    TEXTUAL composition: each level's string embeds the previous level
+    TWICE, so the full expression duplicates the input subtree 2^5 =
+    32x.  Fine for the DuckDB oracle dialect; in Spark hot paths use
+    :func:`_stage_spread_bits` instead — after an ``explode`` the
+    whole-stage-codegen consume method cannot be split, and this
+    expression inlined there blows the JVM's 64KB method limit (janino
+    InternalCompilerException -> a multi-second failed compile repaid
+    on EVERY action, then interpreted fallback; round-6 measurement)."""
     c = f"cast({col} as bigint)"
-    c = f"(({c} | shiftleft({c}, 16)) & 281470681808895)"     # 0x0000FFFF0000FFFF
-    c = f"(({c} | shiftleft({c}, 8)) & 71777214294589695)"    # 0x00FF00FF00FF00FF
-    c = f"(({c} | shiftleft({c}, 4)) & 1085102592571150095)"  # 0x0F0F0F0F0F0F0F0F
-    c = f"(({c} | shiftleft({c}, 2)) & 3689348814741910323)"  # 0x3333333333333333
-    c = f"(({c} | shiftleft({c}, 1)) & 6148914691236517205)"  # 0x5555555555555555
+    for sh, mask in _SPREAD_MASKS:
+        c = f"(({c} | shiftleft({c}, {sh})) & {mask})"
     return c
+
+
+def _spread9_values() -> list[int]:
+    """spread9[i] = the 9 bits of i moved to even bit positions."""
+    out = []
+    for i in range(512):
+        m = 0
+        for b in range(9):
+            m |= ((i >> b) & 1) << (2 * b)
+        out.append(m)
+    return out
+
+
+_SPREAD9_SQL = "array(" + ", ".join(
+    f"{v}L" for v in _spread9_values()) + ")"
+
+
+def sql_spread_bits_lookup(col: str) -> str:
+    """Morton bit-spread of an 18-bit int as TWO 9-bit lookups in a
+    512-entry literal array (Spark-side only; the oracle dialect keeps
+    the arithmetic form).
+
+    Why a lookup: the bit-twiddle form embeds its input 2^5 = 32x
+    after textual composition, and Catalyst's filter pushdown
+    re-substitutes staged columns into predicates — a predicate on the
+    quadtree downstream of an explode then inlines the whole
+    duplicated tree into the Generate consume method, which cannot be
+    split, blowing janino's 64KB method limit (a multi-second FAILED
+    compile repaid on every action + interpreted fallback; round-6
+    measurement).  The literal array constant-folds into a single
+    entry in ``references[]``, so this form stays ~10 expression nodes
+    no matter where the optimizer copies it.  ``col`` is referenced
+    twice."""
+    c = f"cast({col} as bigint)"
+    return (f"(element_at({_SPREAD9_SQL}, cast(({c}) % 512 as int) + 1) + "
+            f"shiftleft(element_at({_SPREAD9_SQL}, "
+            f"cast(({c}) div 512 as int) + 1), 18))")
 
 
 def with_point_qt(df, lon_col: str, lat_col: str, out_col: str = "quadtree",
@@ -342,8 +394,8 @@ def with_point_qt(df, lon_col: str, lat_col: str, out_col: str = "quadtree",
     shift = 2 * (MAX_DEPTH - max_depth)
     out = (df.withColumn("__qt_tx", F.expr(tx))
              .withColumn("__qt_ty", F.expr(ty))
-             .withColumn("__qt_sx", F.expr(_sql_spread_bits("__qt_tx")))
-             .withColumn("__qt_sy", F.expr(_sql_spread_bits("__qt_ty")))
+             .withColumn("__qt_sx", F.expr(sql_spread_bits_lookup("__qt_tx")))
+             .withColumn("__qt_sy", F.expr(sql_spread_bits_lookup("__qt_ty")))
              .withColumn(out_col, F.expr(
                  f"(shiftleft((shiftleft(__qt_sx, 1) | __qt_sy), {shift})"
                  f" * 32) + {max_depth}")))

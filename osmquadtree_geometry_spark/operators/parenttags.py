@@ -64,15 +64,58 @@ def parent_tag_rows(nodes: DataFrame, ways: DataFrame,
             .agg(F.expr("max_by(val, struct(prio, -way_id))").alias("val")))
 
 
+def _parent_tag_maps(nodes: DataFrame, ways: DataFrame,
+                     style: GeometryStyle) -> DataFrame:
+    """(node_id, parent_tags map) in ONE node-keyed aggregation
+    (round-6, guide §2.4): the per-(node, spec) argmax runs as a
+    conditional ``max_by`` per spec inside a single groupBy(node_id),
+    fusing ``parent_tag_rows``'s groupBy + the map regroup — one
+    exchange instead of two.  The map entries come out in ascending
+    spec_key order, exactly what ``array_sort(collect_list(struct(
+    spec_key, val)))`` produced (one entry per key)."""
+    contribs = []
+    for spec_key, sp in style.parent_tags.items():
+        w = ways.where(F.col("tags")[sp.way_key].isNotNull())
+        if sp.way_priority:
+            prio_map = F.create_map(
+                *[x for k, p in sp.way_priority.items()
+                  for x in (F.lit(k), F.lit(int(p)))])
+            w = (w.withColumn("prio", prio_map[F.col("tags")[sp.way_key]])
+                 .where(F.col("prio").isNotNull()))
+        else:
+            w = w.withColumn("prio", F.lit(0))
+        c = (w.select(F.explode("refs").alias("node_id"),
+                      F.col("tags")[sp.way_key].alias("val"),
+                      "prio", F.col("id").alias("way_id"))
+             .withColumn("spec_key", F.lit(spec_key))
+             .withColumn("node_keys", F.array(*[F.lit(k) for k in sp.node_keys])))
+        contribs.append(c)
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    cand = nodes.select(F.col("id").alias("node_id"),
+                        F.map_keys("tags").alias("nkeys"))
+    j = (allc.join(cand, "node_id")
+         .where(F.arrays_overlap("node_keys", "nkeys")))
+    winners = [
+        F.expr(f"max_by(if(spec_key = '{k}', val, null), "
+               f"if(spec_key = '{k}', struct(prio, -way_id), null))")
+        .alias(f"__w{i}")
+        for i, k in enumerate(sorted(style.parent_tags))]
+    entries = ", ".join(
+        f"struct('{k}' as spec_key, __w{i} as val)"
+        for i, k in enumerate(sorted(style.parent_tags)))
+    return (j.groupBy("node_id").agg(*winners)
+            .select("node_id", F.expr(
+                f"map_from_entries(filter(array({entries}), "
+                f"e -> e.val is not null))").alias("parent_tags")))
+
+
 def add_parent_tags(nodes: DataFrame, ways: DataFrame,
                     style: GeometryStyle) -> DataFrame:
     if not style.parent_tags:
         return nodes
-    best = parent_tag_rows(nodes, ways, style)
-    add = (best.groupBy("node_id")
-           .agg(F.map_from_entries(
-               F.array_sort(F.collect_list(F.struct("spec_key", "val"))))
-               .alias("parent_tags")))
+    add = _parent_tag_maps(nodes, ways, style)
     return (nodes.join(add, nodes["id"] == add["node_id"], "left")
             .withColumn("tags", F.when(F.col("parent_tags").isNotNull(),
                                        F.map_concat("tags", "parent_tags"))

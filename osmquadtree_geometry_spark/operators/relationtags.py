@@ -70,18 +70,62 @@ def relation_tag_rows(relations: DataFrame, style: GeometryStyle) -> DataFrame:
                     "out_val", "spec_idx"))
 
 
+def _relation_tag_maps(relations: DataFrame,
+                       style: GeometryStyle) -> DataFrame:
+    """(way_id, rel_tags map) in ONE way-keyed aggregation (round-6,
+    guide §2.4): per-spec conditional min/max/sorted-distinct-list
+    aggregates inside a single groupBy(way_id), fusing
+    ``relation_tag_rows``'s (way, spec) groupBy + the map regroup —
+    one exchange instead of two.  Entries emit in ascending spec_idx
+    order with null ops filtered, exactly the map the old
+    ``array_sort(collect_list(struct(spec_idx, ...)))`` built
+    (duplicate target_keys resolve LAST_WIN by spec order in both)."""
+    contribs = []
+    for i, sp in enumerate(style.relation_tag_spec):
+        cond = F.lit(True)
+        for k, v in sp.source_filter.items():
+            cond = cond & (F.col("tags")[k] == v)
+        cond = cond & F.col("tags")[sp.source_key].isNotNull()
+        c = (relations.where(cond)
+             .select(F.col("tags")[sp.source_key].alias("val"),
+                     F.explode("members").alias("m"))
+             .where(F.col("m.mem_type") == "way")
+             .select(F.col("m.mem_ref").alias("way_id"),
+                     F.lit(i).alias("spec_idx"), "val"))
+        contribs.append(c)
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+
+    aggs = []
+    entries = []
+    for i, sp in enumerate(style.relation_tag_spec):
+        if sp.op_type == "min":
+            aggs.append(F.min(F.expr(
+                f"if(spec_idx = {i}, try_cast(val as bigint), null)"))
+                .cast("string").alias(f"__o{i}"))
+        elif sp.op_type == "max":
+            aggs.append(F.max(F.expr(
+                f"if(spec_idx = {i}, try_cast(val as bigint), null)"))
+                .cast("string").alias(f"__o{i}"))
+        else:
+            aggs.append(F.expr(
+                f"nullif(array_join(array_sort(array_distinct("
+                f"collect_list(if(spec_idx = {i}, val, null)))), '; '), '')")
+                .alias(f"__o{i}"))
+        entries.append(f"struct('{sp.target_key}' as k, __o{i} as v)")
+    return (allc.groupBy("way_id").agg(*aggs)
+            .select("way_id", F.expr(
+                f"map_from_entries(filter(array({', '.join(entries)}), "
+                f"e -> e.v is not null))").alias("rel_tags"))
+            .where(F.size("rel_tags") > 0))
+
+
 def add_relation_tags(ways: DataFrame, relations: DataFrame,
                       style: GeometryStyle) -> DataFrame:
     if not style.relation_tag_spec:
         return ways
-    resolved = relation_tag_rows(relations, style)
-    add = (resolved.groupBy("way_id")
-           .agg(F.map_from_entries(
-               F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct("spec_idx", "target_key", "out_val"))),
-                   lambda x: F.struct(x["target_key"], x["out_val"])))
-               .alias("rel_tags")))
+    add = _relation_tag_maps(relations, style)
     return (ways.join(add, ways["id"] == add["way_id"], "left")
             .withColumn("tags", F.when(F.col("rel_tags").isNotNull(),
                                        F.map_concat("tags", "rel_tags"))
