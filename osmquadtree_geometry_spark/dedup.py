@@ -54,13 +54,23 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
                        shingle: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, sig array<string>): per-doc minhash signature — the
     i-th component is min(md5(shingle || '#' || i)) over shingles.
-    md5-based so DuckDB reproduces it verbatim."""
-    comps = [f"array_min(transform(_sh, s -> md5(concat(s, '#', {i}))))"
-             for i in range(n_hashes)]
-    return (docs
-            # staged column: shingling runs once, not n_hashes times
-            .withColumn("_sh", F.expr(_shingles(text_col, shingle)))
-            .select("doc_id", F.expr(f"array({', '.join(comps)})").alias("sig")))
+    md5-based so DuckDB reproduces it verbatim.
+
+    Shape (round-6, guide §4.1/§2.3): explode the shingles and take
+    ``n_hashes`` conditional MIN aggregates — md5 + min run inside
+    whole-stage codegen, where the old ``array_min(transform(...))``
+    per-doc fold was interpreted expression eval (higher-order
+    functions don't codegen); the map-side partial aggregation
+    collapses each doc's shingles before any shuffle, so only
+    ~n_docs x n_hashes digests move.  min() over strings uses the
+    same binary ordering as array_min — values are identical."""
+    e = docs.select("doc_id",
+                    F.explode(F.expr(_shingles(text_col, shingle))).alias("_s"))
+    mins = [F.min(F.expr(f"md5(concat(_s, '#', {i}))")).alias(f"_m{i}")
+            for i in range(n_hashes)]
+    return (e.groupBy("doc_id").agg(*mins)
+            .select("doc_id", F.array(
+                *[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")))
 
 
 def _distinct_text_keepers(docs: DataFrame, text_col: str) -> DataFrame:
@@ -112,6 +122,14 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     uniq = _distinct_text_keepers(docs, text_col)
     # persist: feeds both the bucket-size agg and the a/b self-join
     sig = cache.persist(minhash_signatures(uniq, n_hashes, shingle, text_col))
+    return _lsh_band_pairs(sig, bands, rows_per_band, max_bucket)
+
+
+def _lsh_band_pairs(sig: DataFrame, bands: int, rows_per_band: int,
+                    max_bucket: int) -> DataFrame:
+    """Banded-bucket candidate pairs (a, b, n_bands) from a persisted
+    (doc_id, sig) table — shared by minhash_lsh_pairs and
+    jaccard_lsh_pairs."""
     banded = sig.select(
         "doc_id",
         F.posexplode(F.expr(
@@ -148,18 +166,23 @@ def simhash(docs: DataFrame, bits: int = 60, shingle: int = 2,
     ``zip_with`` — vs the naive formulation's bits× re-hash."""
     sh = _shingles(text_col, shingle)
     hex_chars = (bits + 3) // 4
-    hv = f"cast(conv(substring(md5(s), 1, {hex_chars}), 16, 10) as bigint)"
-    signs = (f"transform(sequence(0, {bits - 1}), "
-             f"j -> case when (h div cast(pow(2, j) as bigint)) % 2 = 1 "
-             f"then 1L else -1L end)")
-    fold = (f"aggregate(_hv, array_repeat(0L, {bits}), "
-            f"(acc, h) -> zip_with(acc, {signs}, (a, b) -> a + b))")
+    hv = (f"cast(conv(substring(md5(_s), 1, {hex_chars}), 16, 10) as bigint)")
+    # round-6 shape (guide §4.1/§2.3): explode shingles, hash each
+    # once (codegen), then ``bits`` conditional +1/-1 SUM aggregates —
+    # the old per-doc aggregate/zip_with fold allocated a bits-wide
+    # array per shingle in interpreted eval.  Partial aggregation
+    # collapses each doc's shingles map-side, so the shuffle carries
+    # ~n_docs x bits longs.  sum(if(bit, 1, -1)) > 0 reproduces the
+    # fold's counter sign exactly (integer math, same bit tests).
+    e = (docs.select("doc_id",
+                     F.explode(F.expr(sh)).alias("_s"))
+         .select("doc_id", F.expr(hv).alias("_h")))
+    sums = [F.sum(F.expr(f"if((_h div {1 << j}) % 2 = 1, 1L, -1L)"))
+            .alias(f"_b{j}") for j in range(bits)]
     combine = " + ".join(
-        f"(case when element_at(_bs, {j + 1}) > 0 then {1 << j}L else 0L end)"
+        f"(case when _b{j} > 0 then {1 << j}L else 0L end)"
         for j in range(bits))
-    return (docs
-            .withColumn("_hv", F.expr(f"transform({sh}, s -> {hv})"))
-            .withColumn("_bs", F.expr(fold))
+    return (e.groupBy("doc_id").agg(*sums)
             .select("doc_id", F.expr(combine).alias("simhash")))
 
 
@@ -231,14 +254,26 @@ def jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     verified with the exact shingle Jaccard.  Recall is the standard
     LSH band guarantee; ``ngram_jaccard_pairs`` remains the exact
     all-pairs tool for small explicit blocks."""
-    cand = (minhash_lsh_pairs(docs, n_hashes, bands, shingle,
-                              text_col, max_bucket)
-            .select("a", "b"))
+    # ONE keeper pass + ONE shingling feed BOTH the LSH candidates and
+    # the exact verification (round-6; the old form called
+    # minhash_lsh_pairs(docs), re-running the keeper groupBy and the
+    # shingling a second time).  Signatures built from the DISTINCT
+    # shingle arrays are identical to raw-shingle signatures: each
+    # component is a min, and duplicates cannot change a min.
     uniq = _distinct_text_keepers(docs, text_col)
     sh = cache.persist(uniq.select(
         "doc_id",
         F.expr(f"array_distinct({_shingles(text_col, shingle)})").alias("sh")
-    ))  # joined twice (a side and b side)
+    ))  # feeds the signature pass + both exact-verify join sides
+    e = sh.select("doc_id", F.explode("sh").alias("_s"))
+    mins = [F.min(F.expr(f"md5(concat(_s, '#', {i}))")).alias(f"_m{i}")
+            for i in range(n_hashes)]
+    sig = cache.persist(
+        e.groupBy("doc_id").agg(*mins)
+        .select("doc_id", F.array(
+            *[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")))
+    cand = (_lsh_band_pairs(sig, bands, n_hashes // bands, max_bucket)
+            .select("a", "b"))
     return (cand
             .join(sh.select(F.col("doc_id").alias("a"),
                             F.col("sh").alias("sha")), "a")
@@ -254,16 +289,22 @@ def jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              block_col: str = "label") -> DataFrame:
     """Embedding-cosine near-dup within a blocking key (exact cosine;
-    for the unblocked scale path see similarity.lsh_ann)."""
-    dot = "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"
-    nrm = "sqrt(aggregate(%s, 0.0d, (a, v) -> a + cast(v as double) * v))"
+    for the unblocked scale path see similarity.lsh_ann).
+
+    Norms are hoisted to the join inputs (computed once per vector,
+    not once per pair) and dot/norm use the guarded-unrolled codegen
+    expressions from similarity — identical values (round-6)."""
+    from .similarity import _dot_expr, _sqsum_expr
     a = emb.select(F.col("vec_id").alias("a"), F.col(block_col).alias("blk"),
-                   F.col("embedding").alias("ea"))
+                   F.col("embedding").alias("ea")) \
+        .withColumn("__na", F.expr(f"sqrt({_sqsum_expr('ea')})"))
     b = emb.select(F.col("vec_id").alias("b"), F.col(block_col).alias("blk"),
-                   F.col("embedding").alias("eb"))
+                   F.col("embedding").alias("eb")) \
+        .withColumn("__nb", F.expr(f"sqrt({_sqsum_expr('eb')})"))
     return (a.join(b, "blk").where(F.col("a") < F.col("b"))
             .withColumn("cosine", F.round(
-                F.expr(dot) / (F.expr(nrm % "ea") * F.expr(nrm % "eb")), 6))
+                F.expr(_dot_expr("ea", "eb"))
+                / (F.col("__na") * F.col("__nb")), 6))
             .where(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))
 
@@ -318,14 +359,18 @@ def embedding_lsh_near_dup(emb: DataFrame, threshold: float = 0.95,
                   ["tab", "bucket"])
             .where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
-    dot = "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"
-    nrm = "sqrt(aggregate(%s, 0.0d, (a, v) -> a + cast(v as double) * v))"
+    from .similarity import _dot_expr, _sqsum_expr
     return (cand
             .join(emb.select(F.col("vec_id").alias("a"),
-                             F.col("embedding").alias("ea")), "a")
+                             F.col("embedding").alias("ea"))
+                  .withColumn("__na", F.expr(f"sqrt({_sqsum_expr('ea')})")),
+                  "a")
             .join(emb.select(F.col("vec_id").alias("b"),
-                             F.col("embedding").alias("eb")), "b")
+                             F.col("embedding").alias("eb"))
+                  .withColumn("__nb", F.expr(f"sqrt({_sqsum_expr('eb')})")),
+                  "b")
             .withColumn("cosine", F.round(
-                F.expr(dot) / (F.expr(nrm % "ea") * F.expr(nrm % "eb")), 6))
+                F.expr(_dot_expr("ea", "eb"))
+                / (F.col("__na") * F.col("__nb")), 6))
             .where(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))

@@ -77,20 +77,27 @@ def make_way_features(ways_ll: DataFrame, style: GeometryStyle,
                  area, reversed, z_order, layer, minzoom, quadtree)
     """
     feat = ways_ll.where(F.expr(style.sql_has_feature_key("tags")))
-    classified = feat.withColumn(
+    classified = (feat.withColumn(
         "is_poly",
         F.expr(sqlgeom.sql_is_ring("refs")) & F.expr(style.sql_is_polygon("tags")))
+        # staged mercator projection: referenced twice by each measure
+        # fold (both zip slices), so inlining would project every way
+        # twice; as a multi-use non-cheap alias it stays materialized
+        # once (round-6)
+        .withColumn("__merc", F.expr(sqlgeom.sql_merc("lonlats"))))
     fused = (classified
              .withColumn("signed_area",
                          F.when(F.col("is_poly"),
-                                F.expr(sqlgeom.sql_ring_area("lonlats"))))
+                                F.expr(sqlgeom.sql_ring_area(
+                                    "lonlats", "__merc"))))
              .select("doc_id", "id", "refs",
                      F.expr(style.sql_filter_tags("tags")).alias("tags"),
                      "lonlats",
                      F.when(F.col("is_poly"), F.lit("simple_polygon"))
                      .otherwise(F.lit("linestring")).alias("geom_type"),
                      F.when(~F.col("is_poly"),
-                            F.expr(sqlgeom.sql_line_length("lonlats")))
+                            F.expr(sqlgeom.sql_line_length(
+                                "lonlats", "__merc")))
                      .alias("length"),
                      F.abs(F.col("signed_area")).alias("area"),
                      (F.col("signed_area") < 0).alias("reversed"),

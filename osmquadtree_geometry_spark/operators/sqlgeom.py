@@ -20,18 +20,23 @@ def sql_merc(lonlats: str) -> str:
     return f"transform({lonlats}, p -> struct({_MX} as x, {_MY} as y))"
 
 
-def sql_line_length(lonlats: str) -> str:
-    """`calc_line_length` (`position.rs:118-132`)."""
-    m = sql_merc(lonlats)
+def sql_line_length(lonlats: str, merc: str | None = None) -> str:
+    """`calc_line_length` (`position.rs:118-132`).
+
+    Pass ``merc`` (a pre-staged ``sql_merc`` column) to avoid
+    embedding the mercator transform twice — the pair zip references
+    the projected array in both slices, so the inline form projects
+    every way twice (round-6)."""
+    m = merc or sql_merc(lonlats)
     pair = ("zip_with(slice(_m, 1, size(_m) - 1), slice(_m, 2, size(_m) - 1), "
             "(a, b) -> sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)))")
     return (f"(case when size({lonlats}) < 2 then 0.0d else "
             f"aggregate({pair.replace('_m', m)}, 0.0d, (acc, v) -> acc + v) end)")
 
 
-def sql_ring_area(lonlats: str) -> str:
+def sql_ring_area(lonlats: str, merc: str | None = None) -> str:
     """`calc_ring_area` (`position.rs:134-149`): -shoelace/2."""
-    m = sql_merc(lonlats)
+    m = merc or sql_merc(lonlats)
     pair = ("zip_with(slice(_m, 1, size(_m) - 1), slice(_m, 2, size(_m) - 1), "
             "(a, b) -> a.x * b.y - a.y * b.x)")
     return (f"(case when size({lonlats}) < 3 then 0.0d else "

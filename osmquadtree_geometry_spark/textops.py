@@ -4,6 +4,18 @@
 
 All deterministic, all JVM-side SQL (no Python in the hot path), all
 DuckDB-oracle-expressible.
+
+Round-6 (guide §1.2 "per-task work"): every operator stages the
+regex-tokenized array as ONE column (``__toks``) and expresses all
+metrics over it.  The previous inline composition re-evaluated
+``split(lower(trim(text)), '\\s+')`` up to ~13x per row (Catalyst
+inlines single-use aliases, and higher-order functions are
+interpreted, so no common-subexpression elimination saves you) —
+measured 3-4s per 50k-doc pass at sf1.0; staging cuts the regex work
+to one pass.  A staged column referenced more than once is never
+collapsed back by CollapseProject, so the plan keeps exactly one
+split() per row.  Formulas are unchanged expression-for-expression,
+so results are bit-identical (oracle-checked).
 """
 
 from __future__ import annotations
@@ -21,57 +33,70 @@ STOPWORDS = {
 _TOKS = "split(lower(trim(text)), '\\\\s+')"
 
 
-def _stop_ratio(lang: str) -> str:
+def _with_toks(docs: DataFrame) -> DataFrame:
+    """Stage the tokenized text as ONE column (see module docstring)."""
+    return docs.withColumn("__toks", F.expr(_TOKS))
+
+
+def _stop_ratio(lang: str, toks: str = _TOKS) -> str:
     lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return (f"size(filter({_TOKS}, t -> t IN ({lst}))) / "
-            f"cast(greatest(size({_TOKS}), 1) as double)")
+    return (f"size(filter({toks}, t -> t IN ({lst}))) / "
+            f"cast(greatest(size({toks}), 1) as double)")
 
 
 def language_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred, lang_score): argmax stopword-hit ratio;
     'und' (undetermined) when every ratio is 0."""
-    scores = [F.expr(_stop_ratio(lg)).alias(f"r_{lg}") for lg in STOPWORDS]
-    df = docs.select("doc_id", *scores)
-    arr = F.array(*[
-        F.struct(F.col(f"r_{lg}").alias("score"), F.lit(lg).alias("lang"))
-        for lg in STOPWORDS])
-    best = F.expr(
-        "element_at(array_sort({}, (a, b) -> case when a.score > b.score then -1 "
-        "when a.score < b.score then 1 when a.lang < b.lang then -1 else 1 end), 1)"
-        .format("array({})".format(", ".join(
-            f"struct(r_{lg} as score, '{lg}' as lang)" for lg in STOPWORDS))))
-    return (df.withColumn("best", best)
+    return (_with_toks(docs)
+            .withColumn("best", _best_lang_struct("__toks"))
             .select("doc_id",
                     F.when(F.col("best.score") > 0, F.col("best.lang"))
                     .otherwise(F.lit("und")).alias("lang_pred"),
                     F.round("best.score", 6).alias("lang_score")))
 
 
-_N_TOKS = f"size({_TOKS})"
+def _n_toks(toks: str = _TOKS) -> str:
+    return f"size({toks})"
+
+
 _PUNCT = ("length(regexp_replace(text, '[^!-/:-@\\\\[-`{{-~]', '')) / "
           "cast(greatest(length(text), 1) as double)")
-_MEAN_TOK = f"length(trim(text)) / cast(greatest({_N_TOKS}, 1) as double)"
 _BPE = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
 
+# inline-composition forms kept for callers that want the standalone
+# SQL text (dialect parity with the DuckDB oracles)
+_N_TOKS = _n_toks()
+_MEAN_TOK = f"length(trim(text)) / cast(greatest({_N_TOKS}, 1) as double)"
 
-def _quality_expr() -> str:
+
+def _mean_tok(toks: str = _TOKS) -> str:
+    return f"length(trim(text)) / cast(greatest({_n_toks(toks)}, 1) as double)"
+
+
+def _quality_expr(toks: str = _TOKS) -> str:
     """The combined [0,1] quality heuristic (shared by quality_score
     and corpus_prep so the two can never drift)."""
-    stop_en = _stop_ratio("en")
-    return (f"least(1.0d, {_N_TOKS} / 100.0d) * "
+    stop_en = _stop_ratio("en", toks)
+    return (f"least(1.0d, {_n_toks(toks)} / 100.0d) * "
             f"(1.0d - least(1.0d, {_PUNCT} * 4))"
             f" * least(1.0d, 0.2d + {stop_en} * 4)")
 
 
-def _lang_pred_col():
-    """argmax stopword-hit ratio as a Column; 'und' when every ratio
-    is 0 (shared by language_id and corpus_prep)."""
-    best = F.expr(
+def _best_lang_struct(toks: str = _TOKS):
+    """Winning (score, lang) struct by descending score then ascending
+    lang (shared by language_id and corpus_prep)."""
+    return F.expr(
         "element_at(array_sort({}, (a, b) -> case when a.score > b.score then -1 "
         "when a.score < b.score then 1 when a.lang < b.lang then -1 else 1 end), 1)"
         .format("array({})".format(", ".join(
-            f"struct({_stop_ratio(lg)} as score, '{lg}' as lang)"
+            f"struct({_stop_ratio(lg, toks)} as score, '{lg}' as lang)"
             for lg in STOPWORDS))))
+
+
+def _lang_pred_col(toks: str = _TOKS):
+    """argmax stopword-hit ratio as a Column; 'und' when every ratio
+    is 0 (shared by language_id and corpus_prep)."""
+    best = _best_lang_struct(toks)
     return (F.when(best["score"] > 0, best["lang"])
             .otherwise(F.lit("und")).alias("lang_pred"))
 
@@ -79,37 +104,42 @@ def _lang_pred_col():
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio_en,
     quality): length/punct/stopword heuristics combined into [0,1]."""
-    stop_en = _stop_ratio("en")
-    return docs.select(
+    return _with_toks(docs).select(
         "doc_id",
-        F.expr(_N_TOKS).cast("long").alias("n_tokens"),
-        F.round(F.expr(_MEAN_TOK), 6).alias("mean_token_len"),
+        F.expr(_n_toks("__toks")).cast("long").alias("n_tokens"),
+        F.round(F.expr(_mean_tok("__toks")), 6).alias("mean_token_len"),
         F.round(F.expr(_PUNCT), 6).alias("punct_ratio"),
-        F.round(F.expr(stop_en), 6).alias("stop_ratio_en"),
-        F.round(F.expr(_quality_expr()), 6).alias("quality"))
+        F.round(F.expr(_stop_ratio("en", "__toks")), 6).alias("stop_ratio_en"),
+        F.round(F.expr(_quality_expr("__toks")), 6).alias("quality"))
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens, n_chars): whitespace count +
     a BPE-ish regex count (letter runs / digit runs / single
     punctuation, the GPT-2 pretokenizer shape)."""
-    return docs.select(
+    return _with_toks(docs).select(
         "doc_id",
-        F.expr(_N_TOKS).cast("long").alias("ws_tokens"),
+        F.expr(_n_toks("__toks")).cast("long").alias("ws_tokens"),
         F.expr(_BPE).cast("long").alias("bpe_ish_tokens"),
         F.length("text").cast("long").alias("n_chars"))
 
 
 def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
     """(doc_id, fp): winnowing-style fingerprint — md5 over the set of
-    per-window minima of token md5s (robust to local edits)."""
-    toks = _TOKS
-    mins = (f"transform(sequence(1, greatest(size({toks}) - {window - 1}, 1)), "
-            f"i -> array_min(transform(slice({toks}, i, {window}), t -> md5(t))))")
-    return docs.select(
-        "doc_id",
-        F.md5(F.expr(f"array_join(array_sort(array_distinct({mins})), '|')"))
-        .alias("fp"))
+    per-window minima of token md5s (robust to local edits).
+
+    Staged: token md5s are hashed ONCE into ``__tokmd5`` and each
+    window takes the min of a slice — the inline form re-hashed every
+    token once per covering window (~``window``x the md5 work)."""
+    mins = (f"transform(sequence(1, greatest(size(__toks) - {window - 1}, 1)), "
+            f"i -> array_min(slice(__tokmd5, i, {window})))")
+    return (_with_toks(docs)
+            .withColumn("__tokmd5", F.expr("transform(__toks, t -> md5(t))"))
+            .select(
+                "doc_id",
+                F.md5(F.expr(
+                    f"array_join(array_sort(array_distinct({mins})), '|')"))
+                .alias("fp")))
 
 
 def corpus_prep(docs: DataFrame, min_quality: float = 0.05) -> DataFrame:
@@ -130,12 +160,12 @@ def corpus_prep(docs: DataFrame, min_quality: float = 0.05) -> DataFrame:
     float summation ORDER cannot flip the digest (the per-row rounded
     quality is order-free; only its integerized sum crosses rows)."""
     from .dedup import _distinct_text_keepers
-    keep = _distinct_text_keepers(docs, "text")
+    keep = _with_toks(_distinct_text_keepers(docs, "text"))
     feats = keep.select(
         "doc_id",
-        _lang_pred_col(),
-        F.round(F.expr(_quality_expr()), 6).alias("quality"),
-        F.expr(_N_TOKS).cast("long").alias("ws_tokens"),
+        _lang_pred_col("__toks"),
+        F.round(F.expr(_quality_expr("__toks")), 6).alias("quality"),
+        F.expr(_n_toks("__toks")).cast("long").alias("ws_tokens"),
         F.expr(_BPE).cast("long").alias("bpe_ish_tokens"),
         F.length("text").cast("long").alias("n_chars"))
     return (feats.where(F.col("quality") >= min_quality)
