@@ -43,11 +43,39 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingles(text_col: str, n: int) -> str:
-    """word n-gram shingles (SQL, JVM-side)."""
+    """word n-gram shingles (SQL, JVM-side) — inline form.  Prefer
+    :func:`_staged_shingles` in hot paths: this expression references
+    the split() four times, so inlined it re-tokenizes per use."""
     toks = f"split(trim({text_col}), '{TOKEN_RE}')"
     return (f"(case when size({toks}) < {n} then array(array_join({toks}, ' ')) "
             f"else transform(sequence(1, size({toks}) - {n - 1}), "
             f"i -> array_join(slice({toks}, i, {n}), ' ')) end)")
+
+
+def _shingles_from_toks(toks_col: str, n: int) -> str:
+    """n-gram shingles over a pre-staged token-array column.
+
+    The per-shingle body is ``concat(t[i], ' ', t[i+1], ...)`` instead
+    of ``array_join(slice(...), ' ')`` — no slice allocation per
+    position, measured 2.5-6x faster at sf1.0 and provably identical:
+    array_join with a ' ' separator over k non-null strings IS their
+    ' '-joined concat (split() never yields nulls)."""
+    body = ", ' ', ".join(f"element_at({toks_col}, i + {d})"
+                          for d in range(n))
+    return (f"(case when size({toks_col}) < {n} "
+            f"then array(array_join({toks_col}, ' ')) "
+            f"else transform(sequence(1, size({toks_col}) - {n - 1}), "
+            f"i -> concat({body})) end)")
+
+
+def _staged_shingles(docs: DataFrame, text_col: str, n: int,
+                     out: str = "__sh") -> DataFrame:
+    """docs + ``out`` = shingle array, with the tokenization staged as
+    its own (multi-use, hence never re-inlined) column."""
+    return (docs
+            .withColumn("__tk", F.expr(f"split(trim({text_col}), '{TOKEN_RE}')"))
+            .withColumn(out, F.expr(_shingles_from_toks("__tk", n)))
+            .drop("__tk"))
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
@@ -64,8 +92,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16,
     collapses each doc's shingles before any shuffle, so only
     ~n_docs x n_hashes digests move.  min() over strings uses the
     same binary ordering as array_min — values are identical."""
-    e = docs.select("doc_id",
-                    F.explode(F.expr(_shingles(text_col, shingle))).alias("_s"))
+    e = (_staged_shingles(docs, text_col, shingle)
+         .select("doc_id", F.explode("__sh").alias("_s")))
     mins = [F.min(F.expr(f"md5(concat(_s, '#', {i}))")).alias(f"_m{i}")
             for i in range(n_hashes)]
     return (e.groupBy("doc_id").agg(*mins)
@@ -164,7 +192,6 @@ def simhash(docs: DataFrame, bits: int = 60, shingle: int = 2,
     column, so CollapseProject can't duplicate it), then one
     ``aggregate`` fold accumulating all ``bits`` counters via
     ``zip_with`` — vs the naive formulation's bits× re-hash."""
-    sh = _shingles(text_col, shingle)
     hex_chars = (bits + 3) // 4
     hv = (f"cast(conv(substring(md5(_s), 1, {hex_chars}), 16, 10) as bigint)")
     # round-6 shape (guide §4.1/§2.3): explode shingles, hash each
@@ -174,8 +201,8 @@ def simhash(docs: DataFrame, bits: int = 60, shingle: int = 2,
     # collapses each doc's shingles map-side, so the shuffle carries
     # ~n_docs x bits longs.  sum(if(bit, 1, -1)) > 0 reproduces the
     # fold's counter sign exactly (integer math, same bit tests).
-    e = (docs.select("doc_id",
-                     F.explode(F.expr(sh)).alias("_s"))
+    e = (_staged_shingles(docs, text_col, shingle)
+         .select("doc_id", F.explode("__sh").alias("_s"))
          .select("doc_id", F.expr(hv).alias("_h")))
     sums = [F.sum(F.expr(f"if((_h div {1 << j}) % 2 = 1, 1L, -1L)"))
             .alias(f"_b{j}") for j in range(bits)]
@@ -230,10 +257,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     LSH buckets from minhash_lsh_pairs for the unblocked path)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = cache.persist(
-        docs.repartition(par, "doc_id")  # parallelize the shingling
+        _staged_shingles(docs.repartition(par, "doc_id"),  # parallel shingling
+                         text_col, shingle)
         .select("doc_id", F.col(block_col).alias("blk"),
-                F.expr(f"array_distinct({_shingles(text_col, shingle)})")
-                .alias("sh")))  # reused by both join sides
+                F.expr("array_distinct(__sh)").alias("sh")))  # both join sides
     a = sh.select(F.col("doc_id").alias("a"), "blk", F.col("sh").alias("sha"))
     b = sh.select(F.col("doc_id").alias("b"), "blk", F.col("sh").alias("shb"))
     j = (a.join(b, "blk").where(F.col("a") < F.col("b"))
@@ -261,9 +288,9 @@ def jaccard_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     # shingle arrays are identical to raw-shingle signatures: each
     # component is a min, and duplicates cannot change a min.
     uniq = _distinct_text_keepers(docs, text_col)
-    sh = cache.persist(uniq.select(
+    sh = cache.persist(_staged_shingles(uniq, text_col, shingle).select(
         "doc_id",
-        F.expr(f"array_distinct({_shingles(text_col, shingle)})").alias("sh")
+        F.expr("array_distinct(__sh)").alias("sh")
     ))  # feeds the signature pass + both exact-verify join sides
     e = sh.select("doc_id", F.explode("sh").alias("_s"))
     mins = [F.min(F.expr(f"md5(concat(_s, '#', {i}))")).alias(f"_m{i}")

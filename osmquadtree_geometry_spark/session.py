@@ -62,6 +62,19 @@ def get_spark(app: str = "osmquadtree_geometry_spark",
         # allocation-heavy batch workload (measured 2.3x slower);
         # throughput collector wins for pure batch
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # InferFiltersFromGenerate synthesizes `size(gen) > 0 AND
+        # isnotnull(gen)` above every explode, duplicating the
+        # generator expression twice, and predicate pushdown then
+        # re-inlines any staged upstream columns into both copies —
+        # for higher-order-function generators (shingling: a split()
+        # referenced inside the lambda) that turns into a per-ELEMENT
+        # re-tokenize, measured 5x slower at ANY scale (7-10s vs
+        # 0.6-0.9s on the 50k-doc shingle explode).  Our generators
+        # are never-empty by construction, so the pruning the rule
+        # buys is nil; excluding it is scale-independent
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
     )
     # ad-hoc experiment overrides: "k=v;k=v" (bench A/B harness)
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
