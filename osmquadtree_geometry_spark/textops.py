@@ -168,11 +168,23 @@ def corpus_prep(docs: DataFrame, min_quality: float = 0.05) -> DataFrame:
         F.expr(_n_toks("__toks")).cast("long").alias("ws_tokens"),
         F.expr(_BPE).cast("long").alias("bpe_ish_tokens"),
         F.length("text").cast("long").alias("n_chars"))
-    return (feats.where(F.col("quality") >= min_quality)
-            .groupBy("lang_pred")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("ws_tokens").alias("ws_tokens"),
-                 F.sum("bpe_ish_tokens").alias("bpe_ish_tokens"),
-                 F.sum("n_chars").alias("n_chars"),
-                 F.sum(F.round(F.col("quality") * 1000000).cast("long"))
-                 .alias("sum_quality_micro")))
+    # quality gate as CONDITIONAL aggregates, not a WHERE: predicate
+    # pushdown would substitute the full quality tree (its splits and
+    # regexes) through the staged projection and evaluate it a second
+    # time per row below the Project (round-6 plan audit); the
+    # conditional form evaluates quality exactly once.  A language
+    # whose every keeper fails the gate aggregates to n_docs = 0 and
+    # is dropped post-agg — exactly the group the WHERE never formed
+    # (null quality fails both the WHERE and the if()).
+    q = float(min_quality)
+    gate = f"quality >= {q!r}"
+    return (feats.groupBy("lang_pred")
+            .agg(F.sum(F.expr(f"if({gate}, 1L, 0L)")).alias("n_docs"),
+                 F.sum(F.expr(f"if({gate}, ws_tokens, 0L)")).alias("ws_tokens"),
+                 F.sum(F.expr(f"if({gate}, bpe_ish_tokens, 0L)"))
+                 .alias("bpe_ish_tokens"),
+                 F.sum(F.expr(f"if({gate}, n_chars, 0L)")).alias("n_chars"),
+                 F.sum(F.expr(
+                     f"if({gate}, cast(round(quality * 1000000) as bigint), 0L)"))
+                 .alias("sum_quality_micro"))
+            .where(F.col("n_docs") > 0))
