@@ -130,23 +130,21 @@ def decode_node_locations(spans: DataFrame) -> DataFrame:
     return with_point_qt(n, "lon", "lat")
 
 
-_NROW_T = ("struct<doc_id:string,lon:int,lat:int,version:int,"
-           "timestamp:bigint>")
-
-
 def decode_nodes(spans: DataFrame,
                  tags_all: DataFrame | None = None) -> DataFrame:
     """nodes(doc_id, id, lon, lat, tags, quadtree) — quadtree is the
     z18 point cell (`Quadtree::calculate_point`), computed with the
     pure-SQL kernel so it stays inside whole-stage codegen.
 
-    FUSED shape (round-6, guide §2.4): node spans and node-tag rows
-    union into ONE id-keyed groupBy that assembles the tag map next to
-    the node fields — the former shared tag groupBy + left map-join
-    cost two exchanges on this path; the fused one costs one and
-    shuffles each tag row exactly once.  Multiplicity is preserved for
-    duplicate-id node spans by collecting the span structs and
-    re-exploding (same rows the join produced)."""
+    Shape (round-6): node rows keep the original join-with-tag-map
+    form, but against a NODE-ONLY tag groupBy (``_tag_rows``) instead
+    of the shared three-kind ``decode_tags`` table — node rows carry
+    no aggregate, so only the tag side sorts.  (A fully fused
+    union+groupBy variant was measured SLOWER here at sf0.1: with
+    ObjectHashAggregate disabled session-wide, the collect_list
+    forces a SortAggregate over every node row, where the join form
+    sorts only the far-smaller tag stream.  Ways/relations stay
+    fused — they already paid a groupBy.)"""
     n = (spans.where(F.col("kind") == "node")
          .select("doc_id",
                  F.expr(f"try_cast({_field(1)} as bigint)").alias("id"),
@@ -160,24 +158,11 @@ def decode_nodes(spans: DataFrame,
          # a null-id node with a spurious quadtree
          .where(F.col("id").isNotNull() & F.col("lon").isNotNull()
                 & F.col("lat").isNotNull()))
-    u = (n.select(
-            "id",
-            F.struct("doc_id", "lon", "lat", "version", "timestamp")
-            .alias("nrow"),
-            F.lit(None).cast("string").alias("k"),
-            F.lit(None).cast("string").alias("v"))
-         .unionByName(_tag_rows(spans, "node").select(
-             "id", F.lit(None).cast(_NROW_T).alias("nrow"), "k", "v")))
-    g = (u.groupBy("id")
-         .agg(F.collect_list("nrow").alias("__nrows"),
-              _tags_agg().alias("tags")))
-    out = (g.where(F.size("__nrows") > 0)
-           .select("id", F.explode("__nrows").alias("__n"), "tags")
-           .select("id", F.col("__n.doc_id").alias("doc_id"),
-                   F.col("__n.lon").alias("lon"),
-                   F.col("__n.lat").alias("lat"),
-                   F.col("__n.version").alias("version"),
-                   F.col("__n.timestamp").alias("timestamp"), "tags"))
+    tags = (_tag_rows(spans, "node")
+            .groupBy("id").agg(_tags_agg().alias("tags"))
+            .where(F.size("tags") > 0))
+    out = (n.join(tags, ["id"], "left")
+           .withColumn("tags", F.coalesce("tags", F.expr("map()"))))
     return with_point_qt(out, "lon", "lat")
 
 

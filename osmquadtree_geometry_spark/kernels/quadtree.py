@@ -392,10 +392,13 @@ def with_point_qt(df, lon_col: str, lat_col: str, out_col: str = "quadtree",
     tx = f"least(cast(floor(least(greatest({x}, 0.0), 1.0 - 1e-15) * {n}) as bigint), {n - 1})"
     ty = f"least(cast(floor(least(greatest({y}, 0.0), 1.0 - 1e-15) * {n}) as bigint), {n - 1})"
     shift = 2 * (MAX_DEPTH - max_depth)
-    out = (df.withColumn("__qt_tx", F.expr(tx))
-             .withColumn("__qt_ty", F.expr(ty))
-             .withColumn("__qt_sx", F.expr(sql_spread_bits_lookup("__qt_tx")))
-             .withColumn("__qt_sy", F.expr(sql_spread_bits_lookup("__qt_ty")))
+    # batched withColumns: every extra DataFrame op re-analyzes the
+    # whole logical plan driver-side, which adds up in deep pipelines
+    # (round-6 plan-construction profiling)
+    out = (df.withColumns({"__qt_tx": F.expr(tx), "__qt_ty": F.expr(ty)})
+             .withColumns({
+                 "__qt_sx": F.expr(sql_spread_bits_lookup("__qt_tx")),
+                 "__qt_sy": F.expr(sql_spread_bits_lookup("__qt_ty"))})
              .withColumn(out_col, F.expr(
                  f"(shiftleft((shiftleft(__qt_sx, 1) | __qt_sy), {shift})"
                  f" * 32) + {max_depth}")))
@@ -409,11 +412,42 @@ def with_bbox_qt(df, minlon: str, minlat: str, maxlon: str, maxlat: str,
     aligned mortons (depth = 17 - floor(log2(xor))/2).  100% JVM — no
     Python workers in the tile-assignment hot path."""
     from pyspark.sql import functions as F
-    out = with_point_qt(df, minlon, minlat, "__qt_a", max_depth)
-    out = with_point_qt(out, maxlon, maxlat, "__qt_b", max_depth)
+    n = 1 << max_depth
+    shift = 2 * (MAX_DEPTH - max_depth)
+
+    def txy(lon_col, lat_col):
+        x = f"(({lon_col}) * 1e-7 + 180.0) / 360.0"
+        latc = (f"least(greatest(({lat_col}) * 1e-7, -85.051128779806), "
+                f"85.051128779806)")
+        y = f"(1.0 - ln(tan(pi()/4.0 + radians({latc})/2.0)) / pi()) / 2.0"
+        tx = (f"least(cast(floor(least(greatest({x}, 0.0), 1.0 - 1e-15) "
+              f"* {n}) as bigint), {n - 1})")
+        ty = (f"least(cast(floor(least(greatest({y}, 0.0), 1.0 - 1e-15) "
+              f"* {n}) as bigint), {n - 1})")
+        return tx, ty
+
+    # both corners staged side by side, one Project per morton stage
+    # (each extra DataFrame op re-analyzes the whole plan driver-side)
+    txa, tya = txy(minlon, minlat)
+    txb, tyb = txy(maxlon, maxlat)
+    qt = (f"(shiftleft((shiftleft(__qt_sx%s, 1) | __qt_sy%s), {shift})"
+          f" * 32) + {max_depth}")
     xor = "shiftright(__qt_a, 5) ^ shiftright(__qt_b, 5)"
     d = (f"(case when ({xor}) = 0 then cast({max_depth} as bigint) "
          f"else cast(17 - floor(floor(log2(cast(({xor}) as double))) / 2) as bigint) end)")
-    out = out.withColumn("__qt_d", F.expr(d))
-    out = out.withColumn(out_col, F.expr(sql_round_qt("__qt_a", "__qt_d")))
-    return out.drop("__qt_a", "__qt_b", "__qt_d")
+    out = (df.withColumns({
+               "__qt_txa": F.expr(txa), "__qt_tya": F.expr(tya),
+               "__qt_txb": F.expr(txb), "__qt_tyb": F.expr(tyb)})
+             .withColumns({
+               "__qt_sxa": F.expr(sql_spread_bits_lookup("__qt_txa")),
+               "__qt_sya": F.expr(sql_spread_bits_lookup("__qt_tya")),
+               "__qt_sxb": F.expr(sql_spread_bits_lookup("__qt_txb")),
+               "__qt_syb": F.expr(sql_spread_bits_lookup("__qt_tyb"))})
+             .withColumns({
+               "__qt_a": F.expr(qt % ("a", "a")),
+               "__qt_b": F.expr(qt % ("b", "b"))})
+             .withColumn("__qt_d", F.expr(d))
+             .withColumn(out_col, F.expr(sql_round_qt("__qt_a", "__qt_d"))))
+    return out.drop("__qt_txa", "__qt_tya", "__qt_txb", "__qt_tyb",
+                    "__qt_sxa", "__qt_sya", "__qt_sxb", "__qt_syb",
+                    "__qt_a", "__qt_b", "__qt_d")

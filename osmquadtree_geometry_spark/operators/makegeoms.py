@@ -40,10 +40,7 @@ def with_bbox_quadtree(df: DataFrame, lonlats: str = "lonlats") -> DataFrame:
     """bbox -> deepest containing cell, pure staged SQL (JVM; the
     pandas-UDF variant ``qt_bbox_udf`` remains for kernels)."""
     b = sqlgeom.sql_bbox(lonlats)
-    tmp = df.withColumn("__b_minlon", F.expr(b["minlon"])) \
-            .withColumn("__b_minlat", F.expr(b["minlat"])) \
-            .withColumn("__b_maxlon", F.expr(b["maxlon"])) \
-            .withColumn("__b_maxlat", F.expr(b["maxlat"]))
+    tmp = df.withColumns({f"__b_{k}": F.expr(v) for k, v in b.items()})
     out = qtk.with_bbox_qt(tmp, "__b_minlon", "__b_minlat",
                            "__b_maxlon", "__b_maxlat")
     return out.drop("__b_minlon", "__b_minlat", "__b_maxlon", "__b_maxlat")
