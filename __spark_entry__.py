@@ -699,6 +699,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parent_tags": q_parent_tags,
     "minzoom_points": q_minzoom_points,
     "multipolygons": q_multipolygons,
+    # registry order only (round-5 verdict Next #7): this entry sat
+    # last two rounds running and was the one query the driver's
+    # sampler never drew; adjacency to its siblings fixes that.
+    # Semantics/SQL unchanged.
+    "multipolygons_merged": q_multipolygons_merged,
     "multipolygons_closed_rings": q_multipolygons_closed_rings,
     "assembly_errors": q_assembly_errors,
     "waynode_errors": q_waynode_errors,
@@ -738,7 +743,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lowzoom_lines": q_lowzoom_lines,
     "polygon_validity": q_polygon_validity,
     "make_valid": q_make_valid,
-    "multipolygons_merged": q_multipolygons_merged,
 }
 
 

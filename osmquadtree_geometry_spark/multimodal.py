@@ -80,31 +80,76 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
+    # Row-filter reconstruction (round-5 verdict Next #6: the old
+    # per-byte Python loops cost ~0.5 s per 256x256 RGBA tile).
+    # None/Up/Sub are fully numpy-vectorized: Up is an elementwise
+    # wrap-add against the previous reconstructed row, and Sub's
+    # recurrence recon[i] = raw[i] + recon[i-nch] telescopes to a
+    # per-channel-lane cumulative sum mod 256.  Average/Paeth depend
+    # nonlinearly on the in-row left neighbour, so they stay serial,
+    # but with the predictor inlined over plain ints (no function
+    # call, hoisted locals) they run ~3x the old speed.
     img = np.zeros((h, stride), np.uint8)
-    prev = bytearray(stride)
-    p = 0
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    fts = rows[:, 0]
+    prev_np = np.zeros(stride, np.uint8)
+    prev = [0] * stride
+    prev_dirty = False  # python-list mirror needs refresh
     for y in range(h):
-        ft = raw[p]
-        row = bytearray(raw[p + 1:p + 1 + stride])
-        p += 1 + stride
-        if ft == 1:    # Sub
-            for i in range(nch, stride):
-                row[i] = (row[i] + row[i - nch]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
+        ft = int(fts[y])
+        if ft == 0:
+            rec = rows[y, 1:]
+            img[y] = rec
+            prev_np = rec
+            prev_dirty = True
+            continue
+        if ft == 2:    # Up: elementwise wrap-add (uint8 wraps mod 256)
+            rec = rows[y, 1:] + prev_np
+            img[y] = rec
+            prev_np = rec
+            prev_dirty = True
+            continue
+        if ft == 1:    # Sub: per-lane cumulative sum mod 256
+            lanes = rows[y, 1:].reshape(w, nch).astype(np.int64)
+            rec = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(stride)
+            img[y] = rec
+            prev_np = rec
+            prev_dirty = True
+            continue
+        if ft not in (3, 4):
+            raise ValueError(f"bad PNG filter type {ft}")
+        if prev_dirty:
+            prev = prev_np.tolist()
+            prev_dirty = False
+        row = list(rows[y, 1:])
+        if ft == 3:    # Average (serial on the left neighbour)
             for i in range(stride):
                 left = row[i - nch] if i >= nch else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
+        else:          # Paeth (serial; predictor inlined)
             for i in range(stride):
-                left = row[i - nch] if i >= nch else 0
-                ul = prev[i - nch] if i >= nch else 0
-                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG filter type {ft}")
-        img[y] = np.frombuffer(bytes(row), np.uint8)
+                if i >= nch:
+                    a = row[i - nch]
+                    c = prev[i - nch]
+                else:
+                    a = c = 0
+                b = prev[i]
+                pa = b - c if b >= c else c - b
+                pb = a - c if a >= c else c - a
+                pc = a + b - 2 * c
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[i] = (row[i] + pred) & 0xFF
+        rec = np.asarray(row, np.uint8)
+        img[y] = rec
+        prev_np = rec
         prev = row
     px = img.reshape(h, w, nch)
     if ctype == 3:

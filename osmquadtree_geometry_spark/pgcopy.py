@@ -194,6 +194,12 @@ def deliver_pgcopy(df: DataFrame, dsn: str, table: str,
 LEDGER_TABLE = "_pg_deliveries"
 
 
+def _lit(v: str) -> str:
+    """Minimal SQL string-literal escape for ledger values (round-5
+    ADVICE: table/fingerprint were interpolated raw)."""
+    return str(v).replace("'", "''")
+
+
 def ledger_ddl(schema: str = "public", ledger: str = LEDGER_TABLE) -> str:
     """Delivery-ledger DDL: one row per promoted (target, fingerprint,
     partition).  The PRIMARY KEY is the exactly-once gate — a second
@@ -240,13 +246,44 @@ def deliver_pgcopy_exactly_once(df: DataFrame, dsn: str, table: str,
     committed reports its rows only via the retry's ledger row, not
     the return value — the ledger is the authoritative record.
     """
-    from .pgwire import PgConnection
+    from .pgwire import PgConnection, PgError
 
     cols = columns or copy_columns_for(df)
     enc = encode_copy_rows(df, cols)
     promoted = df.sparkSession.sparkContext.accumulator(0)
+    # Exactly-once is only exactly-once if row->partition assignment
+    # is identical across attempts AND re-runs (round-5 ADVICE): a
+    # re-run whose source splits changed would reuse promoted pids
+    # for different row sets.  Enforce the cheap half of that
+    # contract loudly: record the partition COUNT under the sentinel
+    # part = -1 and refuse to deliver when a previous delivery of
+    # this (target, fingerprint) used a different layout.  (Callers
+    # wanting re-run stability across environments should also fix
+    # the layout, e.g. repartition(n, stable_key) before delivery.)
+    n_parts = enc.rdd.getNumPartitions()
+    tq = _lit(table)
+    fq = _lit(fingerprint)
     with PgConnection(dsn) as conn:  # bootstrap the ledger (idempotent)
         conn.execute(ledger_ddl(schema, ledger))
+        try:
+            conn.execute(f"INSERT INTO {schema}.{ledger} VALUES "
+                         f"('{tq}', '{fq}', -1, {n_parts})")
+        except PgError as e:
+            if e.fields.get("C") != "23505":
+                raise
+            _tag, rows = conn.execute(
+                f"SELECT rows FROM {schema}.{ledger} WHERE target = "
+                f"'{tq}' AND fingerprint = '{fq}' AND part = -1")
+            prev = int(rows[0][0]) if rows else None
+            if prev != n_parts:
+                raise ValueError(
+                    f"exactly-once ledger for ({table}, {fingerprint}) "
+                    f"records {prev} partitions but this run produced "
+                    f"{n_parts}: the partition layout changed, so "
+                    f"promoted pids would not identify the same row "
+                    f"sets.  Deliver under a new fingerprint (or "
+                    f"repartition deterministically to the recorded "
+                    f"count).") from e
 
     def send_part(rows) -> None:
         from itertools import chain
@@ -262,7 +299,14 @@ def deliver_pgcopy_exactly_once(df: DataFrame, dsn: str, table: str,
             return
         tc = TaskContext.get()
         pid, attempt = tc.partitionId(), tc.taskAttemptId()
-        stg = f"{table}__stg_{fingerprint}_p{pid}_a{attempt}"
+        # fingerprint truncated to 12 chars so the generated name
+        # stays under PostgreSQL's 63-byte NAMEDATALEN (round-5
+        # ADVICE; a silently truncated name could collide across
+        # speculative attempts).  Uniqueness within one application
+        # still holds: taskAttemptId is globally unique per
+        # SparkContext; a cross-application collision would fail
+        # loudly at CREATE TABLE, never corrupt a promote.
+        stg = f"{table}__stg_{fingerprint[:12]}_p{pid}_a{attempt}"
 
         def payload():
             yield HEADER
@@ -278,7 +322,7 @@ def deliver_pgcopy_exactly_once(df: DataFrame, dsn: str, table: str,
             try:
                 conn.execute(
                     f"INSERT INTO {schema}.{ledger} VALUES "
-                    f"('{table}', '{fingerprint}', {pid}, {n})")
+                    f"('{_lit(table)}', '{_lit(fingerprint)}', {pid}, {n})")
             except PgError as e:
                 conn.execute("rollback")
                 if e.fields.get("C") != "23505":
@@ -310,11 +354,17 @@ def sweep_staging(dsn: str, table: str, schema: str = "public") -> list[str]:
     from .pgwire import PgConnection
 
     prefix = f"{table}__stg_"
+    # '_' is a single-char LIKE wildcard: an unescaped prefix would
+    # also match (and DROP!) non-staging tables whose names happen to
+    # fit the pattern, e.g. 'tXYstgZjunk' for table 't' (round-5
+    # ADVICE).  Escape the metacharacters and say so with ESCAPE.
+    pat = (prefix.replace("\\", "\\\\").replace("_", "\\_")
+           .replace("%", "\\%"))
     dropped = []
     with PgConnection(dsn) as conn:
         _tag, rows = conn.execute(
             "SELECT tablename FROM pg_tables WHERE schemaname = "
-            f"'{schema}' AND tablename LIKE '{prefix}%'")
+            f"'{schema}' AND tablename LIKE '{pat}%' ESCAPE '\\'")
         for (name,) in rows:
             conn.execute(f"DROP TABLE {schema}.{name}")
             dropped.append(name)

@@ -68,6 +68,9 @@ class MockPg(threading.Thread):
         # exactly-once emulation state: delivery-ledger PK rows and
         # per-table promoted row counts
         self.ledger: set[tuple] = set()
+        # sentinel/value store backing the exactly-once partition-
+        # layout guard: ledger key -> rows value
+        self.ledger_rows: dict[tuple, int] = {}
         self.startups: list[dict] = []
         self._lock = threading.Lock()
         self._srv = socket.create_server(("127.0.0.1", 0))
@@ -209,16 +212,35 @@ class MockPg(threading.Thread):
             elif up.startswith("SELECT"):
                 import re as _re
                 m = _re.search(r"FROM pg_tables WHERE schemaname = "
-                               r"'(\S+)' AND tablename LIKE '([^%]+)%'", sql)
+                               r"'(\S+)' AND tablename LIKE '([^%]+)%'"
+                               r"(?: ESCAPE '(.)')?", sql)
                 rowdesc = (struct.pack(">h", 1) + b"mock\x00" +
                            struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
                 if m:
                     # emulate the staging-sweep catalog query: list the
                     # staged COPY payload tables under the prefix
+                    pat = m.group(2)
+                    if m.group(3):  # unescape LIKE metacharacters
+                        e = m.group(3)
+                        out, i = [], 0
+                        while i < len(pat):
+                            if pat[i] == e and i + 1 < len(pat):
+                                out.append(pat[i + 1]); i += 2
+                            else:
+                                out.append(pat[i]); i += 1
+                        prefix = "".join(out)
+                        def _like(name, pref=prefix):
+                            return name.startswith(pref)
+                    else:  # raw LIKE semantics: '_' is a wildcard
+                        import fnmatch
+                        def _like(name, p=pat):
+                            rx = _re.escape(p).replace("_", ".") + ".*"
+                            return _re.fullmatch(rx, name) is not None
                     with self._lock:
                         names = sorted(
                             k.split(".", 1)[1] for k in self.copies
-                            if k.startswith(f"{m.group(1)}.{m.group(2)}"))
+                            if k.startswith(f"{m.group(1)}.")
+                            and _like(k.split(".", 1)[1]))
                     rows = b"".join(
                         _msg(b"D", struct.pack(">h", 1)
                              + struct.pack(">i", len(n)) + n.encode())
@@ -245,7 +267,7 @@ class MockPg(threading.Thread):
         (response already sent)."""
         import re
         m = re.match(r"INSERT INTO (\S+) VALUES \('([^']*)', '([^']*)',"
-                     r" (\d+), (\d+)\)", sql)
+                     r" (-?\d+), (-?\d+)\)", sql)
         if m and "_pg_deliveries" in m.group(1):
             key = (m.group(2), m.group(3), int(m.group(4)))
             with self._lock:
@@ -259,7 +281,26 @@ class MockPg(threading.Thread):
             else:
                 with self._lock:
                     self.ledger.add(key)
+                    self.ledger_rows[key] = int(m.group(5))
             conn.sendall(_msg(b"C", b"INSERT 0 1\x00") + _msg(b"Z", b"I"))
+            return True
+        m = re.match(r"SELECT rows FROM (\S+) WHERE target = '([^']*)' "
+                     r"AND fingerprint = '([^']*)' AND part = (-?\d+)", sql)
+        if m and "_pg_deliveries" in m.group(1):
+            key = (m.group(2), m.group(3), int(m.group(4)))
+            with self._lock:
+                val = self.ledger_rows.get(key)
+            rowdesc = (struct.pack(">h", 1) + b"rows\x00" +
+                       struct.pack(">ihihih", 0, 0, 25, -1, -1, 0))
+            if val is None:
+                conn.sendall(_msg(b"T", rowdesc) +
+                             _msg(b"C", b"SELECT 0\x00") + _msg(b"Z", b"I"))
+            else:
+                v = str(val).encode()
+                conn.sendall(_msg(b"T", rowdesc) +
+                             _msg(b"D", struct.pack(">h", 1) +
+                                  struct.pack(">i", len(v)) + v) +
+                             _msg(b"C", b"SELECT 1\x00") + _msg(b"Z", b"I"))
             return True
         m = re.match(r"INSERT INTO (\S+) SELECT \* FROM (\S+)", sql)
         if m:

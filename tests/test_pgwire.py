@@ -241,7 +241,10 @@ def test_exactly_once_idempotent_rerun(spark):
         rows = pgcopy.parse_copy_payloads(srv.copies["public.t"], cols)
         assert sorted(r[0] for r in rows) == list(range(40))
         assert {k[:2] for k in srv.ledger} == {("t", "fp1")}
-        assert len(srv.ledger) == 4
+        # 4 partition rows + the part = -1 layout sentinel (round-5
+        # ADVICE partition-determinism guard)
+        assert len([k for k in srv.ledger if k[2] >= 0]) == 4
+        assert ("t", "fp1", -1) in srv.ledger
         # happy path leaves no staging tables behind
         assert [k for k in srv.copies if "__stg_" in k] == []
         # a DIFFERENT fingerprint is a different logical dataset and
@@ -269,7 +272,8 @@ def test_exactly_once_mid_copy_kill_and_rerun(spark):
         pgcopy.deliver_pgcopy_exactly_once(df, srv.dsn(), "t", "fpX")
         rows = pgcopy.parse_copy_payloads(srv.copies["public.t"], cols)
         assert sorted(r[0] for r in rows) == list(range(30))
-        assert len(srv.ledger) == 3
+        # 3 partition rows + the layout sentinel
+        assert len([k for k in srv.ledger if k[2] >= 0]) == 3
 
 
 def test_write_postgresql_exactly_once_mode(spark):
@@ -325,6 +329,43 @@ def test_sweep_staging_drops_orphans():
         dropped = pgcopy.sweep_staging(srv.dsn(), "t")
         assert dropped == ["t__stg_fp1_p0_a7", "t__stg_fp1_p2_a9"]
         assert set(srv.copies) == {"public.t", "public.other__stg_fp_p0_a1"}
+
+
+def test_sweep_staging_escapes_like_wildcards():
+    """Round-5 ADVICE: '_' in the staging prefix is a LIKE single-char
+    wildcard — an unescaped sweep for table 't' would also DROP a
+    non-staging table like 'tXYstgZjunk' (t,any,any,'stg',any...).
+    The escaped pattern must only match the literal prefix."""
+    from osmquadtree_geometry_spark import pgcopy
+    with MockPg(auth="trust") as srv:
+        srv.copies["public.t__stg_fp1_p0_a7"] = b"x"
+        # lookalikes that match the UNescaped 't__stg_%' pattern
+        srv.copies["public.tXYstgZjunk"] = b"keep"
+        srv.copies["public.t12stg3data"] = b"keep"
+        dropped = pgcopy.sweep_staging(srv.dsn(), "t")
+        assert dropped == ["t__stg_fp1_p0_a7"]
+        assert set(srv.copies) == {"public.tXYstgZjunk",
+                                   "public.t12stg3data"}
+
+
+def test_exactly_once_partition_layout_guard(spark):
+    """Round-5 ADVICE: the ledger keys on Spark partitionId, which
+    only identifies a row set if the partition layout is stable.  A
+    re-run of the same (target, fingerprint) with a DIFFERENT
+    partition count must fail loudly instead of silently mixing
+    promoted pids from two different layouts."""
+    from osmquadtree_geometry_spark import pgcopy
+    df4 = spark.range(0, 40).selectExpr(
+        "id AS osm_id", "concat('n', id) AS name").repartition(4)
+    df2 = df4.repartition(2)
+    with MockPg(auth="trust") as srv:
+        assert pgcopy.deliver_pgcopy_exactly_once(
+            df4, srv.dsn(), "t", "fpL") == 40
+        with pytest.raises(ValueError, match="partition layout"):
+            pgcopy.deliver_pgcopy_exactly_once(df2, srv.dsn(), "t", "fpL")
+        # unchanged layout still no-ops cleanly
+        assert pgcopy.deliver_pgcopy_exactly_once(
+            df4, srv.dsn(), "t", "fpL") == 0
 
 
 # -- TLS (sslmode) ------------------------------------------------------
