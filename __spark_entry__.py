@@ -396,7 +396,11 @@ def q_pip_join(spark, sf_dir):
         res.points, res.simple_polygons, cell_depth=10,
         poly_cover=res.spatial_index.get("poly_cover"),
         point_cells=res.spatial_index.get("points_cells"),
-        cover_depths=meta.get("cover_depths"))
+        cover_depths=meta.get("cover_depths"),
+        # stats-driven engine dispatch (round-5 verdict Next #3):
+        # wide rings route through the packed numpy kernel, small
+        # corpora collapse to the pure-SQL fold via the stored stat
+        engine="auto", max_ring_pts=meta.get("max_ring_pts"))
 
 
 def q_knn_join(spark, sf_dir):

@@ -294,10 +294,17 @@ def write_spatial_index(res, out_dir: str,
     # bounded metadata collect (<= len(cover_menu) rows), paid ONCE
     # per dataset here instead of per query
     spark = res.points.sparkSession
-    used = sorted(r.d for r in spark.read.parquet(p).select(
-        F.expr(sql_qt_depth("cell")).alias("d")).distinct().collect())
+    stats = spark.read.parquet(p).agg(
+        F.collect_set(F.expr(sql_qt_depth("cell"))).alias("ds"),
+        F.max(F.size("lonlats")).alias("mx")).first()
+    used = sorted(int(d) for d in (stats.ds or []))
+    # max ring width drives the pip engine auto-dispatch (round-5
+    # verdict Next #3): small everywhere -> pure SQL fold, no
+    # dispatch overhead at query time
+    max_ring_pts = int(stats.mx) if stats.mx is not None else 0
     with open(os.path.join(out_dir, "spatial_index_meta.json"), "w") as f:
         json.dump({"cover_depths": used,
+                   "max_ring_pts": max_ring_pts,
                    "cover_depth": SPATIAL_COVER_DEPTH}, f)
 
     base = f"cell{SPATIAL_POINT_DEPTHS[0]}"

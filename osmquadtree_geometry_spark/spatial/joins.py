@@ -193,7 +193,9 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                           poly_cover: DataFrame | None = None,
                           point_cells: DataFrame | None = None,
                           cover_depths: list[int] | None = None,
-                          engine: str = "sql") -> DataFrame:
+                          engine: str = "sql",
+                          max_ring_pts: int | None = None,
+                          ring_split: int = 1024) -> DataFrame:
     """(point_id, polygon_id) pairs where the point lies inside the
     polygon's outer ring (pnpoly, `position.rs:284-326`).
 
@@ -218,7 +220,20 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     columns: no cover/cell UDFs, no depth-discovery collect job, and
     no per-cell count agg + join (the bucket bound reads the stored
     ``n{d}``).  Stored scans are NOT persisted (re-reading pruned
-    parquet beats caching it at scale)."""
+    parquet beats caching it at scale).
+
+    ``engine`` (round-5 verdict Next #3): ``'sql'`` streams candidate
+    pairs through the JVM pnpoly fold (re-scans the ring per
+    candidate pair — O(pairs x ring) in the join stage); ``'packed'``
+    buckets points and runs the vectorized numpy kernel once per
+    (polygon, bucket) row — wins when rings are wide enough that
+    vectorizing many points per ring scan amortizes.  ``'auto'``
+    routes EACH polygon by ring width: rings with more than
+    ``ring_split`` vertices take the packed kernel, the rest the SQL
+    fold, results unioned (each pair appears on exactly one side).
+    When ``max_ring_pts`` (stored in the spatial-index metadata at
+    layout-write time) shows no ring exceeds the split, auto
+    collapses to pure SQL with zero dispatch overhead."""
     if poly_cover is not None:
         poly = poly_cover.select("polygon_id", "lonlats", "cell")
     else:
@@ -240,14 +255,12 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     else:
         used = sorted(r.d for r in poly.select(
             F.expr(sql_qt_depth("cell")).alias("d")).distinct().collect())
-    if engine == "sql":
+    def _sql_engine(po: DataFrame) -> DataFrame:
         # DEFAULT engine (round-4 verdict Next #5 follow-through):
         # candidate pairs stream through ONE cell equi-join and the
         # pnpoly ray-cast runs as a JVM SQL fold inside the join stage
         # — no point packing shuffle, no count agg/join, no pandas
-        # round-trip.  engine='packed' keeps the Arrow/numpy variant
-        # for wide-ring corpora where vectorizing many points per ring
-        # amortizes better than the per-pair fold.
+        # round-trip.
         from ..kernels.quadtree import sql_point_qt
         from ..operators.sqlgeom import sql_pnpoly
         if point_cells is not None:
@@ -263,9 +276,19 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                         for d in used])
         pts_e = base.select("point_id", "lon", "lat",
                             F.explode(anc).alias("cell"))
-        j = poly.join(pts_e, "cell")
+        j = po.join(pts_e, "cell")
         return (j.where(F.expr(sql_pnpoly("lonlats", "lon", "lat")))
                 .select("point_id", "polygon_id"))
+
+    if engine == "auto" and max_ring_pts is not None \
+            and max_ring_pts <= ring_split:
+        # stored stats say no ring crosses the split: pure SQL, no
+        # dispatch overhead at all
+        engine = "sql"
+    if engine == "sql":
+        return _sql_engine(poly)
+    if engine not in ("packed", "auto"):
+        raise ValueError(f"unknown pip engine {engine!r}")
     bucket_of = (f"greatest(cast(ceil(n_in_cell / {max_points_per_row}) "
                  f"as int), 1)")
     if point_cells is not None and \
@@ -306,7 +329,9 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     # are disjoint (depth-encoded values can't collide across depths),
     # so each (polygon, point) pair still meets at most once -> no
     # trailing distinct
-    j = (poly.join(packed, ["cell"])
+    packed_poly = (poly.where(F.expr(f"size(lonlats) > {ring_split}"))
+                   if engine == "auto" else poly)
+    j = (packed_poly.join(packed, ["cell"])
          .select("polygon_id", "lonlats", "pts"))
 
     def check(batches):
@@ -328,7 +353,14 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                     "point_id": np.concatenate(out_pt),
                     "polygon_id": np.concatenate(out_pg)})
 
-    return j.mapInPandas(check, "point_id long, polygon_id long")
+    packed_pairs = j.mapInPandas(check, "point_id long, polygon_id long")
+    if engine == "packed":
+        return packed_pairs
+    # engine == 'auto' with (possibly) wide rings present: narrow
+    # rings keep the SQL fold, wide rings take the packed kernel; a
+    # polygon routes to exactly one side, so the union has no dups
+    return (_sql_engine(poly.where(F.expr(f"size(lonlats) <= {ring_split}")))
+            .unionByName(packed_pairs))
 
 
 _KNN_DIST = (f"sqrt(power({_MERC_X % 'qlon'} - {_MERC_X % 'lon'}, 2) + "
