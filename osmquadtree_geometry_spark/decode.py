@@ -80,17 +80,6 @@ def decode_tags(spans: DataFrame) -> DataFrame:
                                m("rel").alias("rel_tags"))
 
 
-def _tags_for(spans: DataFrame, elem: str,
-              tags_all: DataFrame | None = None) -> DataFrame:
-    """(id, tags map) for one element kind, served from the fused
-    ``decode_tags`` table (built ad hoc when not supplied)."""
-    if tags_all is None:
-        tags_all = decode_tags(spans)
-    col = {"node": "node_tags", "way": "way_tags", "rel": "rel_tags"}[elem]
-    return (tags_all.select("id", F.col(col).alias("tags"))
-            .where(F.size("tags") > 0))
-
-
 def _tag_rows(spans: DataFrame, elem: str) -> DataFrame:
     """(id, k, v) tag rows for ONE element kind — the union leg the
     fused per-entity groupBys consume (round-6: one shuffle per entity
