@@ -42,17 +42,25 @@ def _sqsum_expr(col: str, dim: int | None = _UNROLL_DIM) -> str:
     return f"(case when size({col}) = {dim} then {unrolled} else {fold} end)"
 
 
-def _dot_expr(a: str, b: str, dim: int | None = _UNROLL_DIM) -> str:
-    """dot(a, b) as double; zip_with-fold semantics preserved."""
-    fold = (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+def _dot_fold(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
             f"cast(x as double) * y), 0.0d, (a9, v9) -> a9 + v9)")
-    if not dim:
-        return fold
-    unrolled = " + ".join(
+
+
+def _dot_unrolled(a: str, b: str, dim: int) -> str:
+    """Unguarded unrolled dot — caller must ensure both arrays are
+    exactly ``dim`` wide (ANSI element_at errors otherwise)."""
+    return " + ".join(
         f"(cast(element_at({a}, {i}) as double) * "
         f"cast(element_at({b}, {i}) as double))" for i in range(1, dim + 1))
+
+
+def _dot_expr(a: str, b: str, dim: int | None = _UNROLL_DIM) -> str:
+    """dot(a, b) as double; zip_with-fold semantics preserved."""
+    if not dim:
+        return _dot_fold(a, b)
     return (f"(case when size({a}) = {dim} and size({b}) = {dim} "
-            f"then {unrolled} else {fold} end)")
+            f"then {_dot_unrolled(a, b, dim)} else {_dot_fold(a, b)} end)")
 
 
 def _l2_unrolled(a: str, b: str, dim: int) -> str:
@@ -92,7 +100,12 @@ def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, vec_id, cosine) — exact top-k by cosine.
-    ``queries``: (query_id, qe array<float>); broadcast (small side)."""
+    ``queries``: (query_id, qe array<float>); broadcast (small side).
+    (A DataFrame-level width dispatch like the IVF assignment was
+    tried here and MEASURED SLOWER — 2.9s vs 0.7s at sf1.0: the
+    duplicated broadcast join + union feeding the top-k window cost
+    more than the interpreted guarded dot saves.  Hoisted norms +
+    the guarded expression stay.)"""
     e = _with_norm(emb, "embedding", "__ne")
     q = _with_norm(queries, "qe", "__nq")
     j = (e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
