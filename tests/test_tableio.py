@@ -27,3 +27,36 @@ def test_tableio_format_selection(monkeypatch):
     assert tableio.table_format("parquet") == "parquet"  # arg wins
     with pytest.raises(ValueError):
         tableio.table_format("delta")
+
+
+def test_tableio_iceberg_branch_shape():
+    """Round-5 verdict Next #8: no Iceberg jars ship in-sandbox, so the
+    iceberg branch cannot execute — assert it constructs the expected
+    DataSource-v2 reader/writer calls against mocks instead."""
+    from unittest import mock
+
+    spark = mock.MagicMock(name="spark")
+    df = tableio.read_table(spark, "cat.db.docs", fmt="iceberg")
+    spark.read.format.assert_called_once_with("iceberg")
+    spark.read.format.return_value.load.assert_called_once_with(
+        "cat.db.docs")
+    assert df is spark.read.format.return_value.load.return_value
+
+    wdf = mock.MagicMock(name="df")
+    tableio.write_table(wdf, "cat.db.docs", mode="overwrite",
+                        fmt="iceberg")
+    wdf.writeTo.assert_called_once_with("cat.db.docs")
+    wdf.writeTo.return_value.using.assert_called_once_with("iceberg")
+    (wdf.writeTo.return_value.using.return_value
+        .createOrReplace.assert_called_once_with())
+
+    adf = mock.MagicMock(name="df2")
+    tableio.write_table(adf, "cat.db.docs", mode="append", fmt="iceberg")
+    adf.writeTo.assert_called_once_with("cat.db.docs")
+    adf.writeTo.return_value.append.assert_called_once_with()
+    adf.writeTo.return_value.using.assert_not_called()  # v2 append
+
+    cspark = mock.MagicMock(name="spark2")
+    cspark.catalog.tableExists.return_value = True
+    assert tableio.table_exists(cspark, "cat.db.docs", fmt="iceberg")
+    cspark.catalog.tableExists.assert_called_once_with("cat.db.docs")
